@@ -1,0 +1,122 @@
+"""Image pyramid + gradient construction, OpenCV-numerics-compatible, in pure JAX.
+
+Reproduces `ConstructImgPyramide` (reference: run_dense.cpp:131-179):
+  - per level: x0.5 downscale with cv::INTER_LINEAR semantics (run_dense.cpp:151)
+    which at an exact half scale is the 2x2 box mean,
+  - 3x3 Sobel dx/dy scaled by 1/8 with BORDER_DEFAULT = reflect-101
+    (run_dense.cpp:157-158),
+  - border padding by the patch size: replicate for images, zero for gradients
+    (run_dense.cpp:167-173),
+and the original divisibility padding (run_dense.cpp:299-311).
+
+Layout: images are channel-first (C, H, W); batching is done with vmap at the
+model level. All ops are jit-friendly (static shapes).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def pad_to_divisible(img: jnp.ndarray, lv_f: int) -> jnp.ndarray:
+    """Replicate-pad (C,H,W) so H and W divide 2^lv_f (run_dense.cpp:299-311).
+
+    Padding split: floor(pad/2) before, ceil(pad/2) after, per axis.
+    """
+    c, h, w = img.shape
+    scfct = 2 ** lv_f
+    padw = (scfct - w % scfct) % scfct
+    padh = (scfct - h % scfct) % scfct
+    if padw == 0 and padh == 0:
+        return img
+    return jnp.pad(
+        img,
+        ((0, 0), (padh // 2, padh - padh // 2), (padw // 2, padw - padw // 2)),
+        mode="edge",
+    )
+
+
+def halve(img: jnp.ndarray) -> jnp.ndarray:
+    """x0.5 downscale, cv::INTER_LINEAR-exact for even sizes: 2x2 box mean.
+
+    cv::resize with fx=fy=0.5 maps dst(i,j) to src(2i+0.5, 2j+0.5): the mean of
+    the 2x2 source block (run_dense.cpp:151).
+    """
+    c, h, w = img.shape
+    x = img[:, : (h // 2) * 2, : (w // 2) * 2]
+    x = x.reshape(c, h // 2, 2, w // 2, 2)
+    return x.mean(axis=(2, 4))
+
+
+def _sep_filter_reflect101(img: jnp.ndarray, kh: Tuple[float, float, float],
+                           kv: Tuple[float, float, float]) -> jnp.ndarray:
+    """Separable 3-tap filter with reflect-101 border on a (C,H,W) image.
+
+    kh applies along W, kv along H. reflect-101 == numpy/jnp 'reflect' mode
+    (edge pixel not repeated), matching cv::BORDER_DEFAULT.
+    """
+    p = jnp.pad(img, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+    # vertical (H axis)
+    v = kv[0] * p[:, :-2, :] + kv[1] * p[:, 1:-1, :] + kv[2] * p[:, 2:, :]
+    # horizontal (W axis)
+    out = kh[0] * v[:, :, :-2] + kh[1] * v[:, :, 1:-1] + kh[2] * v[:, :, 2:]
+    return out
+
+
+def sobel_dx(img: jnp.ndarray) -> jnp.ndarray:
+    """cv::Sobel(dx=1, ksize=3, scale=1/8, BORDER_DEFAULT): [-1,0,1] x [1,2,1]^T / 8."""
+    return _sep_filter_reflect101(img, (-1.0 / 8.0, 0.0, 1.0 / 8.0), (1.0, 2.0, 1.0))
+
+
+def sobel_dy(img: jnp.ndarray) -> jnp.ndarray:
+    """cv::Sobel(dy=1, ksize=3, scale=1/8, BORDER_DEFAULT): [1,2,1] x [-1,0,1]^T / 8."""
+    return _sep_filter_reflect101(img, (1.0, 2.0, 1.0), (-1.0 / 8.0, 0.0, 1.0 / 8.0))
+
+
+def pad_border(img: jnp.ndarray, pad: int, mode: str) -> jnp.ndarray:
+    """Pad (C,H,W) by `pad` on all sides; mode 'edge' (images) or zero (gradients)."""
+    if mode == "edge":
+        return jnp.pad(img, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    return jnp.pad(img, ((0, 0), (pad, pad), (pad, pad)), mode="constant")
+
+
+def build_pyramid(img: jnp.ndarray, lv_f: int, pad: int, getgrad: bool = True
+                  ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray], List[jnp.ndarray]]:
+    """Construct padded image + gradient pyramids (run_dense.cpp:131-179).
+
+    `img` is the divisibility-padded full-resolution (C,H,W) float32 image.
+    Returns (imgs, dxs, dys) lists indexed by level 0..lv_f, each entry padded
+    by `pad` on all sides (replicate for img, zeros for gradients).
+    """
+    levels = [img]
+    for _ in range(lv_f):
+        levels.append(halve(levels[-1]))
+    imgs, dxs, dys = [], [], []
+    for lv in range(lv_f + 1):
+        base = levels[lv]
+        imgs.append(pad_border(base, pad, "edge"))
+        if getgrad:
+            dxs.append(pad_border(sobel_dx(base), pad, "zero"))
+            dys.append(pad_border(sobel_dy(base), pad, "zero"))
+    return imgs, dxs, dys
+
+
+def gradient_magnitude(img: jnp.ndarray) -> jnp.ndarray:
+    """Gradient-magnitude input mode (reference: run_dense.cpp:139-148,
+    SELECTCHANNEL==2): sqrt(sobel_dx^2 + sobel_dy^2) of the raw image."""
+    dx = sobel_dx(img)
+    dy = sobel_dy(img)
+    return jnp.sqrt(dx * dx + dy * dy)
+
+
+def resize_linear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """cv::INTER_LINEAR-compatible resize of a (C,H,W) image.
+
+    Half-pixel-center bilinear with edge clamping — matches OpenCV for
+    upscaling and for the final flow rescale (run_dense.cpp:408-412).
+    """
+    c, h, w = img.shape
+    return jax.image.resize(img, (c, out_h, out_w), method="linear")

@@ -1,0 +1,49 @@
+"""Byte-level tests of the .flo/.pfm writers against the reference formats
+(reference: run_dense.cpp:17-129)."""
+
+import struct
+
+import numpy as np
+
+from of_dis_tpu.utils import io
+
+
+def test_flo_roundtrip(tmp_path):
+    flow = np.random.default_rng(0).standard_normal((7, 11, 2)).astype(np.float32)
+    p = str(tmp_path / "a.flo")
+    io.write_flo(p, flow)
+    back = io.read_flo(p)
+    np.testing.assert_array_equal(back, flow)
+
+
+def test_flo_header_bytes(tmp_path):
+    flow = np.zeros((3, 5, 2), dtype=np.float32)
+    p = str(tmp_path / "b.flo")
+    io.write_flo(p, flow)
+    raw = open(p, "rb").read()
+    assert raw[:4] == b"PIEH"
+    w, h = struct.unpack("<ii", raw[4:12])
+    assert (w, h) == (5, 3)
+    assert len(raw) == 12 + 3 * 5 * 2 * 4
+
+
+def test_flo_single_channel_depth(tmp_path):
+    d = np.arange(12, dtype=np.float32).reshape(3, 4, 1)
+    p = str(tmp_path / "c.flo")
+    io.write_flo(p, d)
+    back = io.read_flo(p)
+    np.testing.assert_array_equal(back, d)
+
+
+def test_pfm_roundtrip_and_layout(tmp_path):
+    depth = np.random.default_rng(1).standard_normal((5, 9)).astype(np.float32)
+    p = str(tmp_path / "d.pfm")
+    io.write_pfm(p, depth)
+    raw = open(p, "rb").read()
+    # header: Pf\n<w> <h>\n-1.000000\n  (printf("%f",-1.0f) — run_dense.cpp:70)
+    assert raw.startswith(b"Pf\n9 5\n-1.000000\n")
+    body = np.frombuffer(raw, dtype="<f4", offset=len(b"Pf\n9 5\n-1.000000\n"))
+    # bottom-up rows of the negated depth (run_dense.cpp:72-77)
+    np.testing.assert_array_equal(body.reshape(5, 9), -depth[::-1])
+    back = io.read_pfm(p)
+    np.testing.assert_array_equal(back, depth)
