@@ -1,0 +1,145 @@
+"""Coarse-to-fine DIS optical flow / depth model (the OFClass equivalent).
+
+Orchestrates the per-scale stages (reference: oflow.cpp:31-338):
+  pyramid -> [per scale, coarse to fine]:
+    extract templates -> init from coarser flow -> batched patch optimization
+    -> densification (with optional forward-backward merge) -> TV refinement.
+
+The scale loop is Python (shapes differ per level); each full pipeline
+specialization is jit-compiled once per (shape, params) and cached. Batch over
+frame pairs with `dis_flow_batched` (vmap) and shard it over a device mesh via
+of_dis_tpu.parallel.
+
+Differences from the reference by design (TPU-first):
+  - patches are a batch dimension in one fused solver, not objects/OpenMP
+    threads (patchgrid.cpp:109-141),
+  - densification is a deterministic scatter-add (the reference's optional
+    OpenMP path data-races, patchgrid.cpp:220-222),
+  - TV's SOR solver sweeps red-black instead of raster (see ops/tv.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from of_dis_tpu.ops import densify, patch_solver, pyramid, tv
+from of_dis_tpu.params import DISParams, make_level_spec
+
+
+def _tv_refine(flow: jnp.ndarray, im_a, im_b, spec, params: DISParams,
+               camlr: int) -> jnp.ndarray:
+    """Variational refinement of one scale's dense flow (VarRefClass,
+    refine_variational.cpp:25-116). `flow` (H,W,nop); im_a/im_b padded level
+    images (de-padded here, copyimage refine_variational.cpp:119-149)."""
+    pad = spec.pad
+    im1 = im_a[:, pad:-pad, pad:-pad]
+    im2 = im_b[:, pad:-pad, pad:-pad]
+    n_inner = params.tv_innerit * (spec.level + 1)  # refine_variational.cpp:36
+    kw = dict(alpha=params.tv_alpha, gamma=params.tv_gamma,
+              delta=params.tv_delta, n_inner=n_inner,
+              n_solver=params.tv_solverit, omega=params.tv_sor)
+    if params.nop == 2:
+        wx, wy = tv.ref_level_of(flow[:, :, 0], flow[:, :, 1], im1, im2, **kw)
+        return jnp.stack([wx, wy], axis=-1)
+    wx = tv.ref_level_de(flow[:, :, 0], im1, im2, camlr=camlr, **kw)
+    return wx[:, :, None]
+
+
+@partial(jax.jit, static_argnames=("params", "full_w", "full_h"))
+def dis_flow(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
+             full_w: int, full_h: int,
+             init_flow: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Run the full coarse-to-fine DIS pipeline on one frame pair.
+
+    im_a, im_b: (C, H, W) float32, already divisibility-padded to 2^sc_f
+    (use ops.pyramid.pad_to_divisible). full_w/full_h are their dimensions
+    (static). init_flow, if given, warm-starts the coarsest scale and must
+    have shape (H/2^(sc_f+1), W/2^(sc_f+1), nop) (reference: oflow.h:106,
+    oflow.cpp:215-217) — this is also the hook for sequence pipelining
+    (frame t's flow warm-starts t+1).
+
+    Returns dense flow (H/2^sc_l, W/2^sc_l, nop) at the finest computed scale
+    (the caller rescales to full resolution; run_dense.cpp:408-412).
+    """
+    pad = params.p_samp_s
+    ims_a, dxs_a, dys_a = pyramid.build_pyramid(im_a, params.sc_f, pad)
+    ims_b, dxs_b, dys_b = pyramid.build_pyramid(im_b, params.sc_f, pad)
+
+    flow = None
+    flow_bw = None
+    for sl in range(params.sc_f, params.sc_l - 1, -1):
+        spec = make_level_spec(sl, full_w, full_h, params, camlr=0)
+        spec_bw = make_level_spec(sl, full_w, full_h, params, camlr=1)
+        ia, dxa, dya = ims_a[sl], dxs_a[sl], dys_a[sl]
+        ib, dxb, dyb = ims_b[sl], dxs_b[sl], dys_b[sl]
+
+        tpl_fw = patch_solver.extract_templates(spec, params, ia, dxa, dya)
+        if flow is None:
+            if init_flow is not None:
+                p_init = patch_solver.init_from_coarser(spec, params, init_flow)
+            else:
+                p_init = jnp.zeros((spec.nopatches, params.nop), jnp.float32)
+        else:
+            p_init = patch_solver.init_from_coarser(spec, params, flow)
+        res_fw = patch_solver.optimize_level(spec, params, ib, tpl_fw, p_init)
+
+        res_bw = None
+        if params.usefbcon:
+            tpl_bw = patch_solver.extract_templates(spec_bw, params, ib, dxb, dyb)
+            if flow_bw is None:
+                p_init_bw = jnp.zeros((spec_bw.nopatches, params.nop),
+                                      jnp.float32)
+            else:
+                p_init_bw = patch_solver.init_from_coarser(spec_bw, params,
+                                                           flow_bw)
+            res_bw = patch_solver.optimize_level(spec_bw, params, ia, tpl_bw,
+                                                 p_init_bw)
+
+        flow = densify.aggregate_flow_dense(spec, params, res_fw,
+                                            compl_res=res_bw)
+        if params.usefbcon and sl > params.sc_l:
+            # backward aggregation skipped at the last scale (oflow.cpp:266)
+            flow_bw = densify.aggregate_flow_dense(spec_bw, params, res_bw,
+                                                   compl_res=res_fw)
+
+        if params.usetvref:
+            flow = _tv_refine(flow, ia, ib, spec, params, camlr=0)
+            if params.usefbcon and sl > params.sc_l:
+                flow_bw = _tv_refine(flow_bw, ib, ia, spec_bw, params, camlr=1)
+    return flow
+
+
+def upscale_output(flow: jnp.ndarray, sc_l: int, out_h: int, out_w: int
+                   ) -> jnp.ndarray:
+    """Final rescale of the last-scale flow to full resolution
+    (run_dense.cpp:408-412): multiply values by 2^sc_l, INTER_LINEAR resize."""
+    if sc_l == 0:
+        return flow
+    sc = float(2 ** sc_l)
+    f = (flow * sc).transpose(2, 0, 1)
+    f = pyramid.resize_linear(f, out_h, out_w)
+    return f.transpose(1, 2, 0)
+
+
+def dis_flow_full(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
+                  full_w: int, full_h: int,
+                  init_flow: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """dis_flow + final upscale to the padded full resolution."""
+    flow = dis_flow(im_a, im_b, params, full_w, full_h, init_flow)
+    return upscale_output(flow, params.sc_l, full_h, full_w)
+
+
+@partial(jax.jit, static_argnames=("params", "full_w", "full_h"))
+def dis_flow_batched(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
+                     full_w: int, full_h: int) -> jnp.ndarray:
+    """Throughput mode: vmap over a leading frame-pair batch axis.
+
+    im_a, im_b: (B, C, H, W). Returns (B, H, W, nop) full-resolution flow.
+    Shard the batch axis over a mesh with of_dis_tpu.parallel for multi-chip.
+    """
+    fn = lambda a, b: dis_flow_full(a, b, params, full_w, full_h)
+    return jax.vmap(fn)(im_a, im_b)

@@ -1,0 +1,79 @@
+"""End-to-end parity: full JAX pipeline vs the full scalar oracle pipeline
+(cv2 pyramid + reference-semantics patch optimization + raster-SOR TV).
+
+The only intended deviations are SOR sweep ordering (red-black vs raster) and
+float summation order; the acceptance budget is the project's <=1% EPE
+criterion (BASELINE.md)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+cv2 = pytest.importorskip("cv2")
+
+from of_dis_tpu.models import dis
+from of_dis_tpu.params import DISParams
+from tests.oracle import oracle_dis as od
+from tests.oracle import oracle_pipeline as op
+
+
+def _pair(h, w, flow=(3.0, 1.5), seed=0):
+    rng = np.random.default_rng(seed)
+    big = (rng.random((h + 40, w + 40)) * 255).astype(np.float32)
+    big = cv2.GaussianBlur(big, (9, 9), 2.5)
+    a = big[20:20 + h, 20:20 + w].copy()
+    m = np.float32([[1, 0, flow[0]], [0, 1, flow[1]]])
+    bw = cv2.warpAffine(big, m, (w + 40, h + 40))
+    b = bw[20:20 + h, 20:20 + w].copy()
+    return a[None], b[None]
+
+
+def _epe(f1, f2):
+    return float(np.hypot(f1[..., 0] - f2[..., 0],
+                          f1[..., 1] - f2[..., 1]).mean())
+
+
+@pytest.mark.parametrize("usetvref", [False, True])
+def test_pipeline_matches_oracle(usetvref):
+    h, w = 64, 128
+    sc_f, sc_l = 2, 0
+    img_a, img_b = _pair(h, w)
+    prm = DISParams(sc_f=sc_f, sc_l=sc_l, max_iter=8, min_iter=8, p_samp_s=8,
+                    patove=0.4, noc=1, nop=2, usetvref=usetvref)
+    flow_jax = np.asarray(dis.dis_flow(jnp.asarray(img_a), jnp.asarray(img_b),
+                                       prm, w, h))
+    oprm = od.OracleParams(psz=8, max_iter=8, min_iter=8)
+    flow_orc = op.run_pipeline(img_a, img_b, oprm, sc_f=sc_f, sc_l=sc_l,
+                               patove=0.4, usetvref=usetvref)
+    epe = _epe(flow_jax, flow_orc)
+    mag = float(np.hypot(flow_orc[..., 0], flow_orc[..., 1]).mean())
+    assert epe < max(0.01 * mag, 0.02), (epe, mag)
+
+
+def test_pipeline_recovers_translation():
+    h, w = 64, 128
+    true = (3.0, 1.5)
+    img_a, img_b = _pair(h, w, flow=true, seed=4)
+    prm = DISParams(sc_f=2, sc_l=0, max_iter=12, min_iter=12, p_samp_s=8,
+                    patove=0.4, noc=1, nop=2, usetvref=True)
+    flow = np.asarray(dis.dis_flow(jnp.asarray(img_a), jnp.asarray(img_b),
+                                   prm, w, h))
+    inner = flow[12:-12, 12:-12]
+    err = np.hypot(inner[..., 0] - true[0], inner[..., 1] - true[1]).mean()
+    assert err < 0.35, err
+
+
+def test_batched_matches_single():
+    h, w = 32, 64
+    a1, b1 = _pair(h, w, flow=(2.0, 1.0), seed=1)
+    a2, b2 = _pair(h, w, flow=(-1.0, 2.0), seed=2)
+    prm = DISParams(sc_f=1, sc_l=0, max_iter=6, min_iter=6, p_samp_s=8,
+                    patove=0.4, noc=1, nop=2, usetvref=True)
+    batch_a = jnp.stack([jnp.asarray(a1), jnp.asarray(a2)])
+    batch_b = jnp.stack([jnp.asarray(b1), jnp.asarray(b2)])
+    fb = np.asarray(dis.dis_flow_batched(batch_a, batch_b, prm, w, h))
+    f1 = np.asarray(dis.dis_flow_full(jnp.asarray(a1), jnp.asarray(b1), prm, w, h))
+    f2 = np.asarray(dis.dis_flow_full(jnp.asarray(a2), jnp.asarray(b2), prm, w, h))
+    np.testing.assert_allclose(fb[0], f1, atol=1e-5)
+    np.testing.assert_allclose(fb[1], f2, atol=1e-5)
