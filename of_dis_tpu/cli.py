@@ -102,7 +102,12 @@ def main(argv=None):
         init_flow = f
 
     t_run = time.perf_counter()
-    flow = dis.dis_flow_full(a, b, params, full_w, full_h, init_flow)
+    if verb > 1:
+        # staged debug path printing per-scale 6-column breakdown
+        flow = dis.dis_flow_timed(a, b, params, full_w, full_h, init_flow)
+        flow = dis.upscale_output(flow, params.sc_l, full_h, full_w)
+    else:
+        flow = dis.dis_flow_full(a, b, params, full_w, full_h, init_flow)
     flow = np.asarray(jnp.asarray(flow).block_until_ready())
     if verb > 0:
         print(f"TIME (O.Flow Run-Time   ) (ms): {(time.perf_counter()-t_run)*1e3:3g}")

@@ -143,3 +143,127 @@ def dis_flow_batched(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
     """
     fn = lambda a, b: dis_flow_full(a, b, params, full_w, full_h)
     return jax.vmap(fn)(im_a, im_b)
+
+
+def warm_start_from_full(flow_full: jnp.ndarray, sc_f: int) -> jnp.ndarray:
+    """Downscale a full-resolution flow to the warm-start input shape
+    (H/2^(sc_f+1), W/2^(sc_f+1), nop): value scale 2^-(sc_f+1) + box-mean
+    (cv::INTER_AREA) resize, per the reference's init-flow ingestion
+    (run_dense.cpp:373-376)."""
+    k = 2 ** (sc_f + 1)
+    h, w, c = flow_full.shape
+    f = flow_full[: (h // k) * k, : (w // k) * k] * (1.0 / k)
+    return f.reshape(h // k, k, w // k, k, c).mean(axis=(1, 3))
+
+
+@partial(jax.jit, static_argnames=("params", "full_w", "full_h"))
+def dis_sequence(frames: jnp.ndarray, params: DISParams, full_w: int,
+                 full_h: int) -> jnp.ndarray:
+    """Sequence mode: flow for consecutive pairs of a video, each pair
+    warm-started from the previous pair's flow (the hook the reference keeps
+    as its commented-out initialization-flow input, run_dense.cpp:356-379,
+    oflow.cpp:215-217).
+
+    frames: (T, C, H, W) divisibility-padded. Returns (T-1, H, W, nop).
+    """
+    k = 2 ** (params.sc_f + 1)
+    init = jnp.zeros((full_h // k, full_w // k, params.nop), jnp.float32)
+
+    def step(carry, pair):
+        a, b = pair
+        flow = dis_flow_full(a, b, params, full_w, full_h, init_flow=carry)
+        return warm_start_from_full(flow, params.sc_f), flow
+
+    _, flows = jax.lax.scan(step, init, (frames[:-1], frames[1:]))
+    return flows
+
+
+def dis_flow_timed(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
+                   full_w: int, full_h: int,
+                   init_flow: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Verbosity-2 debug path: same pipeline as dis_flow but with each stage
+    executed to completion and timed, printing the reference's per-scale
+    six-column breakdown (oflow.cpp:297):
+
+      TIME (Sc: i, #p: n, pconst, pinit, poptim, cflow, tvopt, total): ...
+
+    Timings are host-side perf_counter spans around block_until_ready'd
+    stages (SURVEY.md §5 tracing contract)."""
+    import time as _time
+
+    pad = params.p_samp_s
+    ims_a, dxs_a, dys_a = pyramid.build_pyramid(im_a, params.sc_f, pad)
+    ims_b, dxs_b, dys_b = pyramid.build_pyramid(im_b, params.sc_f, pad)
+    jax.block_until_ready(ims_a)
+
+    def clock():
+        return _time.perf_counter()
+
+    flow = None
+    flow_bw = None
+    for sl in range(params.sc_f, params.sc_l - 1, -1):
+        spec = make_level_spec(sl, full_w, full_h, params, camlr=0)
+        spec_bw = make_level_spec(sl, full_w, full_h, params, camlr=1)
+        ia, dxa, dya = ims_a[sl], dxs_a[sl], dys_a[sl]
+        ib, dxb, dyb = ims_b[sl], dxs_b[sl], dys_b[sl]
+
+        t0 = clock()
+        tpl_fw = patch_solver.extract_templates(spec, params, ia, dxa, dya)
+        tpl_bw = None
+        if params.usefbcon:
+            tpl_bw = patch_solver.extract_templates(spec_bw, params, ib, dxb,
+                                                    dyb)
+        jax.block_until_ready(tpl_fw)
+        t_pconst = clock() - t0
+
+        t0 = clock()
+        if flow is None:
+            if init_flow is not None:
+                p_init = patch_solver.init_from_coarser(spec, params, init_flow)
+            else:
+                p_init = jnp.zeros((spec.nopatches, params.nop), jnp.float32)
+        else:
+            p_init = patch_solver.init_from_coarser(spec, params, flow)
+        p_init_bw = None
+        if params.usefbcon:
+            if flow_bw is None:
+                p_init_bw = jnp.zeros((spec_bw.nopatches, params.nop),
+                                      jnp.float32)
+            else:
+                p_init_bw = patch_solver.init_from_coarser(spec_bw, params,
+                                                           flow_bw)
+        jax.block_until_ready(p_init)
+        t_pinit = clock() - t0
+
+        t0 = clock()
+        res_fw = patch_solver.optimize_level(spec, params, ib, tpl_fw, p_init)
+        res_bw = None
+        if params.usefbcon:
+            res_bw = patch_solver.optimize_level(spec_bw, params, ia, tpl_bw,
+                                                 p_init_bw)
+        jax.block_until_ready(res_fw)
+        t_poptim = clock() - t0
+
+        t0 = clock()
+        flow = densify.aggregate_flow_dense(spec, params, res_fw,
+                                            compl_res=res_bw)
+        if params.usefbcon and sl > params.sc_l:
+            flow_bw = densify.aggregate_flow_dense(spec_bw, params, res_bw,
+                                                   compl_res=res_fw)
+        jax.block_until_ready(flow)
+        t_cflow = clock() - t0
+
+        t0 = clock()
+        if params.usetvref:
+            flow = _tv_refine(flow, ia, ib, spec, params, camlr=0)
+            if params.usefbcon and sl > params.sc_l:
+                flow_bw = _tv_refine(flow_bw, ib, ia, spec_bw, params, camlr=1)
+            jax.block_until_ready(flow)
+        t_tvopt = clock() - t0
+
+        tot = t_pconst + t_pinit + t_poptim + t_cflow + t_tvopt
+        print("TIME (Sc: %i, #p:%6i, pconst, pinit, poptim, cflow, tvopt, "
+              "total): %8.2f %8.2f %8.2f %8.2f %8.2f -> %8.2f ms."
+              % (sl, spec.nopatches, t_pconst * 1e3, t_pinit * 1e3,
+                 t_poptim * 1e3, t_cflow * 1e3, t_tvopt * 1e3, tot * 1e3))
+    return flow

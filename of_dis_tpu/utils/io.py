@@ -95,7 +95,15 @@ def load_image(path: str, channels: int = 1) -> np.ndarray:
     channels=3: color in BGR order (as cv::imread(COLOR)); channel order does
     not affect the algorithm (channels are treated symmetrically).
     Reference: run_dense.cpp:200-210, 327-328.
+
+    Uses the native C++ decoder (PNG/PGM/PPM) when built; falls back to
+    OpenCV, then PIL.
     """
+    if _native_io is not None:
+        try:
+            return _native_io.decode_image(path, channels)
+        except ValueError:
+            pass  # unsupported format for the native decoder
     try:
         import cv2
         flag = cv2.IMREAD_GRAYSCALE if channels == 1 else cv2.IMREAD_COLOR
