@@ -3,17 +3,34 @@ Sintel-shaped (1024x436) grayscale frame pairs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline north star (BASELINE.md): >=200 frame-pairs/sec/chip on TPU v5e-1.
+
+Timing notes:
+  - On the axon-tunneled TPU platform `block_until_ready()` does not
+    actually block, so every synchronization point here is a host fetch of
+    a reduced value that depends on the full output buffer.
+  - A persistent XLA compilation cache (.jax_cache/) makes repeat runs skip
+    the one-time pipeline compile.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
+def _sync(out):
+    """Force execution to completion: fetch a scalar that depends on `out`."""
+    return float(np.asarray(out[(0,) * out.ndim]))
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
     from of_dis_tpu.models import dis
     from of_dis_tpu.ops import pyramid
@@ -23,12 +40,16 @@ def main():
     params = op_point_params(w_org, 2, nop=2, noc=1, verbosity=0)
 
     rng = np.random.default_rng(0)
-    batch = 16
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     base = rng.random((batch, 1, h_org, w_org)).astype(np.float32) * 255.0
     # smooth the noise so patch optimization does realistic work
-    k = np.ones((5, 5), np.float32) / 25.0
-    import scipy.signal as sig
-    base = np.stack([[sig.convolve2d(im[0], k, mode="same")] for im in base])
+    try:
+        import cv2
+        base = np.stack([[cv2.GaussianBlur(im[0], (7, 7), 2.0)] for im in base])
+    except ImportError:
+        k = np.ones(7, np.float32) / 7.0
+        base = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 3, base)
     shift = np.roll(base, shift=(2, 3), axis=(2, 3))
 
     # pad_to_divisible expects (C,H,W); vmap it over the batch
@@ -37,17 +58,22 @@ def main():
     im_b = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))(
         jnp.asarray(shift))
     full_h, full_w = im_a.shape[2], im_a.shape[3]
+    im_a = jax.device_put(im_a)
+    im_b = jax.device_put(im_b)
+    _sync(im_a)
 
     fn = lambda a, b: dis.dis_flow_batched(a, b, params, full_w, full_h)
-    # compile + warm up
+    # compile + warm up (includes one full execution, forced by the fetch)
     out = fn(im_a, im_b)
-    out.block_until_ready()
+    _sync(out)
 
-    iters = 10
+    # throughput: dispatch a stream of batches, then force every output.
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(im_a, im_b)
-    out.block_until_ready()
+    outs = [fn(im_a, im_b) if i % 2 == 0 else fn(im_b, im_a)
+            for i in range(iters)]
+    for o in outs:
+        _sync(o)
     dt = time.perf_counter() - t0
     pairs_per_sec = batch * iters / dt
 

@@ -1,14 +1,23 @@
 """Test configuration: run all tests on a virtual 8-device CPU mesh.
 
-Must set XLA flags before JAX is imported anywhere.
+The driver environment registers an 'axon' PJRT plugin (tunneled TPU) at
+interpreter startup via sitecustomize, and its register() overrides the
+jax_platforms config — so setting JAX_PLATFORMS in the environment here is
+NOT enough. We must update the config after jax is imported (backends are
+created lazily, so this still wins as long as it runs before any jax use,
+which conftest import order guarantees for the test suite).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
