@@ -1,19 +1,21 @@
-"""Densification: patch displacements -> dense flow, as deterministic
-scatter-adds (reference: PatGridClass::AggregateFlowDense, patchgrid.cpp:213-397).
+"""Densification: patch displacements -> dense flow, deterministic and
+TPU-first (reference: PatGridClass::AggregateFlowDense, patchgrid.cpp:213-397).
 
 The reference's optional OpenMP version data-races by design
-(patchgrid.cpp:220-222, CMakeLists.txt:29-30); here the scatter-add is an XLA
-scatter which is deterministic on TPU.
+(patchgrid.cpp:220-222, CMakeLists.txt:29-30); both paths here are
+deterministic.
 
 Two paths:
   - forward: each valid patch splats its displacement over its p x p integer
     footprint, weighted per-pixel by 1/max(minerrval, residual)
-    (RGB: 1/sum_c max(minerrval, residual_c)) (patchgrid.cpp:223-275). The
-    footprint indices depend only on the static grid geometry -> compile-time
-    constants.
+    (RGB: 1/sum_c max(minerrval, residual_c)) (patchgrid.cpp:223-275).
+    Because the grid is regular, this is re-expressed as a *gather*: each
+    pixel reads from its static set of covering patches (no scatter at all;
+    see _axis_slots/aggregate_flow_dense).
   - backward merge ("fbcon"): the complementary grid's patches splat their
     NEGATED displacement bilinearly at their *converged* target position
-    (patchgrid.cpp:278-375). Indices are runtime values.
+    (patchgrid.cpp:278-375). Indices are runtime values -> scatter-add (XLA
+    scatter, deterministic).
 
 Finally each pixel is normalized by its accumulated weight (patchgrid.cpp:377-394).
 """
@@ -26,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from of_dis_tpu.ops.patch_solver import PatchResult
-from of_dis_tpu.params import DISParams, LevelSpec, MINERRVAL, grid_points
+from of_dis_tpu.params import DISParams, LevelSpec, MINERRVAL
 
 
 def _pixel_weights(pweight: jnp.ndarray) -> jnp.ndarray:
@@ -36,35 +38,71 @@ def _pixel_weights(pweight: jnp.ndarray) -> jnp.ndarray:
     return 1.0 / jnp.sum(clamped, axis=3)
 
 
-def _forward_indices(spec: LevelSpec, psz: int):
-    """Static (N,P,P) flat footprint indices + validity mask
-    (patchgrid.cpp:241-251)."""
-    xs, ys = grid_points(spec)
-    lb = -psz // 2
-    offs = np.arange(psz) + lb
-    yt = np.asarray(ys)[:, None, None] + offs[None, :, None]  # (N,P,1)
-    xt = np.asarray(xs)[:, None, None] + offs[None, None, :]  # (N,1,P)
-    yt, xt = np.broadcast_arrays(yt, xt)
-    valid = (xt >= 0) & (yt >= 0) & (xt < spec.width) & (yt < spec.height)
-    flat = np.where(valid, yt * spec.width + xt, 0).astype(np.int32)
-    return jnp.asarray(flat), jnp.asarray(valid.astype(np.float32))
+def _axis_slots(size: int, n_axis: int, off: int, steps: int, psz: int):
+    """Static per-coordinate contributor table along one axis.
+
+    For each output coordinate v in [0, size): the (at most K) grid indices
+    whose psz-wide footprint covers v, the within-patch offset, and validity.
+    K = floor((psz-1)/steps)+1 is the tight upper bound on how many multiples
+    of `steps` fit in a window of psz consecutive integers.
+
+    Returns (idx (size,K) int32 clipped, offset (size,K) int32, valid (size,K)
+    bool) — the TPU-friendly inverse of the reference's per-patch scatter
+    (patchgrid.cpp:223-275): every pixel *gathers* from the patches covering
+    it, so densification needs no scatter at all on the forward path.
+    """
+    k = (psz - 1) // steps + 1
+    v = np.arange(size)
+    # patch center c = i*steps + off covers v iff v - c + psz//2 in [0, psz)
+    lo = v + psz // 2 - psz + 1 - off            # min center value
+    i_min = -((-lo) // steps)                    # ceil division
+    slots = i_min[:, None] + np.arange(k)[None, :]          # (size, K)
+    centers = slots * steps + off
+    offset = v[:, None] - centers + psz // 2
+    valid = (slots >= 0) & (slots < n_axis) & (offset >= 0) & (offset < psz)
+    idx = np.clip(slots, 0, n_axis - 1).astype(np.int32)
+    offset = np.clip(offset, 0, psz - 1).astype(np.int32)
+    return idx, offset, valid
 
 
 def aggregate_flow_dense(spec: LevelSpec, params: DISParams, res: PatchResult,
                          compl_res: Optional[PatchResult] = None) -> jnp.ndarray:
-    """Dense flow (H, W, nop) from per-patch results (patchgrid.cpp:213-397)."""
+    """Dense flow (H, W, nop) from per-patch results (patchgrid.cpp:213-397).
+
+    Forward path is scatter-free: the patch grid is regular, so each pixel
+    has a static set of covering patches (see _axis_slots) and densification
+    is K*K masked gathers + adds — the reference's OpenMP scatter (which
+    data-races, patchgrid.cpp:220-222) becomes a deterministic dense gather.
+    The backward (fbcon) merge splats at runtime-dependent converged
+    positions and keeps the scatter-add formulation.
+    """
     psz, nop = params.p_samp_s, params.nop
     hw = spec.height * spec.width
+    h, w = spec.height, spec.width
+    noph = spec.noph
 
-    flat, valid = _forward_indices(spec, psz)
-    absw = _pixel_weights(res.pweight) * valid          # (N,P,P)
-    idx = flat.reshape(-1)
-    w_flat = absw.reshape(-1)
+    iy, oy, vy = _axis_slots(h, spec.noph, spec.offseth, spec.steps, psz)
+    ix, ox, vx = _axis_slots(w, spec.nopw, spec.offsetw, spec.steps, psz)
+    k = iy.shape[1]
 
-    we = jnp.zeros((hw,), jnp.float32).at[idx].add(w_flat)
-    contrib = res.p[:, None, None, :] * absw[..., None]  # (N,P,P,nop)
-    flow = jnp.zeros((hw, nop), jnp.float32).at[idx].add(
-        contrib.reshape(-1, nop))
+    pixw = _pixel_weights(res.pweight)                  # (N,P,P)
+    we2 = jnp.zeros((h, w), jnp.float32)
+    flow2 = jnp.zeros((h, w, nop), jnp.float32)
+    for a in range(k):
+        iy_a = jnp.asarray(iy[:, a])[:, None]           # (H,1)
+        oy_a = jnp.asarray(oy[:, a])[:, None]
+        vy_a = jnp.asarray(vy[:, a])[:, None]
+        for b in range(k):
+            ix_b = jnp.asarray(ix[:, b])[None, :]       # (1,W)
+            ox_b = jnp.asarray(ox[:, b])[None, :]
+            vx_b = jnp.asarray(vx[:, b])[None, :]
+            pidx = ix_b * noph + iy_a                   # (H,W) patch index
+            wgt = pixw[pidx, oy_a, ox_b]                # (H,W) gather
+            wgt = jnp.where(vy_a & vx_b, wgt, 0.0)
+            we2 = we2 + wgt
+            flow2 = flow2 + wgt[:, :, None] * res.p[pidx]
+    we = we2.reshape(hw)
+    flow = flow2.reshape(hw, nop)
 
     if compl_res is not None:
         # backward merge (patchgrid.cpp:278-375); bilinear splat at the

@@ -400,11 +400,9 @@ def ref_level_of(wx, wy, im1, im2, *, alpha, gamma, delta, n_inner,
     hg3 = gamma * 0.5 / 3.0
     w_im2, mask = warp_image(im2, wx, wy)
     I = get_derivatives(im1, w_im2)
-    du = jnp.zeros_like(wx)
-    dv = jnp.zeros_like(wy)
-    uu = wx
-    vv = wy
-    for _ in range(n_inner):
+
+    def inner(_, carry):
+        du, dv, uu, vv = carry
         wh, wv = compute_smoothness(uu, vv, quarter_alpha)
         if noc == 1:
             a11, a12, a22, b1, b2 = compute_data_gray(mask, du, dv, I, hd3, hg3)
@@ -414,8 +412,11 @@ def ref_level_of(wx, wy, im1, im2, *, alpha, gamma, delta, n_inner,
         b2 = sub_laplacian(b2, wy, wh, wv)
         du, dv = sor_coupled_rb(du, dv, a11, a12, a22, b1, b2, wh, wv,
                                 n_solver, omega)
-        uu = wx + du
-        vv = wy + dv
+        return du, dv, wx + du, wy + dv
+
+    zero = jnp.zeros_like(wx)
+    _, _, uu, vv = jax.lax.fori_loop(0, n_inner, inner,
+                                     (zero, zero, wx, wy))
     return uu, vv
 
 
@@ -431,9 +432,9 @@ def ref_level_de(wx, im1, im2, *, alpha, gamma, delta, n_inner, n_solver,
     wy0 = jnp.zeros_like(wx)
     w_im2, mask = warp_image(im2, wx, wy0)
     I = get_derivatives(im1, w_im2)
-    du = jnp.zeros_like(wx)
-    uu = wx
-    for _ in range(n_inner):
+
+    def inner(_, carry):
+        du, uu = carry
         wh, wv = compute_smoothness(uu, wy0, quarter_alpha)
         if noc == 1:
             a11, b1 = compute_data_de_gray(mask, du, I, hd3, hg3)
@@ -446,4 +447,8 @@ def ref_level_de(wx, im1, im2, *, alpha, gamma, delta, n_inner, n_solver,
             uu = jnp.minimum(uu, 0.0)
         else:
             uu = jnp.maximum(uu, 0.0)
+        return du, uu
+
+    _, uu = jax.lax.fori_loop(0, n_inner, inner,
+                              (jnp.zeros_like(wx), wx))
     return uu
