@@ -32,10 +32,10 @@ from of_dis_tpu.params import DISParams, LevelSpec, MINERRVAL
 
 
 def _pixel_weights(pweight: jnp.ndarray) -> jnp.ndarray:
-    """(N,P,P,C) residual weights -> (N,P,P) per-pixel splat weight
+    """(P,P,C,N) residual weights -> (P,P,N) per-pixel splat weight
     1/max(2,res) (gray) or 1/sum_c max(2,res_c) (RGB); patchgrid.cpp:253-260."""
     clamped = jnp.maximum(pweight, MINERRVAL)
-    return 1.0 / jnp.sum(clamped, axis=3)
+    return 1.0 / jnp.sum(clamped, axis=2)
 
 
 def _axis_slots(size: int, n_axis: int, off: int, steps: int, psz: int):
@@ -85,7 +85,7 @@ def aggregate_flow_dense(spec: LevelSpec, params: DISParams, res: PatchResult,
     ix, ox, vx = _axis_slots(w, spec.nopw, spec.offsetw, spec.steps, psz)
     k = iy.shape[1]
 
-    pixw = _pixel_weights(res.pweight)                  # (N,P,P)
+    pixw = _pixel_weights(res.pweight)                  # (P,P,N)
     we2 = jnp.zeros((h, w), jnp.float32)
     flow2 = jnp.zeros((h, w, nop), jnp.float32)
     for a in range(k):
@@ -97,7 +97,7 @@ def aggregate_flow_dense(spec: LevelSpec, params: DISParams, res: PatchResult,
             ox_b = jnp.asarray(ox[:, b])[None, :]
             vx_b = jnp.asarray(vx[:, b])[None, :]
             pidx = ix_b * noph + iy_a                   # (H,W) patch index
-            wgt = pixw[pidx, oy_a, ox_b]                # (H,W) gather
+            wgt = pixw[oy_a, ox_b, pidx]                # (H,W) gather
             wgt = jnp.where(vy_a & vx_b, wgt, 0.0)
             we2 = we2 + wgt
             flow2 = flow2 + wgt[:, :, None] * res.p[pidx]
@@ -120,7 +120,8 @@ def aggregate_flow_dense(spec: LevelSpec, params: DISParams, res: PatchResult,
         yt, xt = jnp.broadcast_arrays(yt, xt)                 # (N,P,P)
         bvalid = ((xt >= 1) & (yt >= 1) & (xt < spec.width - 1)
                   & (yt < spec.height - 1)).astype(jnp.float32)
-        babsw = _pixel_weights(compl_res.pweight) * bvalid    # (N,P,P)
+        babsw = jnp.transpose(_pixel_weights(compl_res.pweight),
+                              (2, 0, 1)) * bvalid            # (N,P,P)
         flnew = compl_res.p[:, None, None, :] * babsw[..., None]  # (N,P,P,nop)
         xt = jnp.clip(xt, 1, spec.width - 1)
         yt = jnp.clip(yt, 1, spec.height - 1)

@@ -9,6 +9,26 @@ iterations inside one `lax.while_loop`; per-patch early stopping becomes an
 presets use min_iter == max_iter (run_dense.cpp:240-268), so the masked
 fixed-trip loop wastes no work there.
 
+Hardware mapping (the two decisions that make this fast on TPU):
+
+1. **Patches live on the lane axis.** All per-patch pixel state is laid out
+   (D, N) with D = psz*psz*C on sublanes and the patch index N on lanes, so
+   the (8,128) VPU tiling is dense. The naive (N, P, P, C) layout pads its
+   trailing (P, C) dims to (8,128) — a >100x memory blowup per elementwise
+   op that dominates runtime.
+
+2. **Bilinear patch extraction is MXU matmuls, not gathers.** Per GN
+   iteration every patch samples a (P+1)^2 window at a float position
+   (patch.cpp:346-413). Per-patch dynamic-slice gathers serialize on TPU.
+   Instead: precompute psz+1 column-shifted copies of the level image once
+   per level; each iteration builds an exact 0/1 one-hot (Wp, N) selecting
+   each patch's anchor column and contracts the shifted images against it on
+   the MXU. A small take_along_axis then selects the psz+1 window rows, and
+   two elementwise lerps apply the bilinear weights. The one-hot is exact in
+   bfloat16; the image is split hi/lo into two bfloat16 planes whose
+   f32-accumulated products reconstruct float32 values to ~1e-3 absolute
+   (on a 0..255 intensity scale), far inside the parity budget.
+
 Numerics replicated from the reference:
   - template + gradient extraction at integer positions, optional patch
     mean-normalization (patch.cpp:298-343),
@@ -44,18 +64,21 @@ from of_dis_tpu.params import (COST_HUBER, COST_L1, COST_L2, DISParams,
 
 
 class PatchTemplates(NamedTuple):
-    """Per-level static patch data (outputs of InitializeGrid)."""
-    tmpl: jnp.ndarray   # (N, P, P, C) template patch (mean-normalized if patnorm)
-    tdx: jnp.ndarray    # (N, P, P, C) template x-gradient (never normalized)
-    tdy: jnp.ndarray    # (N, P, P, C) template y-gradient
-    hes: jnp.ndarray    # (N, 3) [H00, H01, H11] (flow) or (N, 1) (depth)
+    """Per-level static patch data (outputs of InitializeGrid).
+
+    D = psz*psz*noc flattened patch pixels (row-major j, i, c); N patches on
+    the trailing (lane) axis."""
+    tmpl: jnp.ndarray   # (D, N) template patch (mean-normalized if patnorm)
+    tdx: jnp.ndarray    # (D, N) template x-gradient (never normalized)
+    tdy: jnp.ndarray    # (D, N) template y-gradient
+    hes: jnp.ndarray    # (3, N) [H00, H01, H11] (flow) or (1, N) (depth)
 
 
 class PatchResult(NamedTuple):
     """Per-level optimization result (inputs to densification)."""
     p: jnp.ndarray        # (N, nop) final displacement parameters
     pt: jnp.ndarray       # (N, 2) final patch position (pt_ref + displacement)
-    pweight: jnp.ndarray  # (N, P, P, C) final absolute-error weights
+    pweight: jnp.ndarray  # (P, P, C, N) final absolute-error weights
     iters: jnp.ndarray    # () iterations executed (diagnostic)
 
 
@@ -89,56 +112,94 @@ def extract_templates(spec: LevelSpec, params: DISParams, im: jnp.ndarray,
     c = jnp.asarray(cols)[:, None, :]   # (N, 1, P)
 
     def gather(imgs):
-        # (C, Hp, Wp) -> (N, P, P, C)
-        return jnp.transpose(imgs[:, r, c], (1, 2, 3, 0))
+        # (C, Hp, Wp) -> (C, N, P, P) -> (P, P, C, N) -> (D, N)
+        g = imgs[:, r, c]
+        g = jnp.transpose(g, (2, 3, 0, 1))
+        return g.reshape(-1, g.shape[-1])
 
     tmpl = gather(im)
     tdx = gather(dx)
     tdy = gather(dy)
     if params.patnorm > 0:
-        tmpl = tmpl - tmpl.mean(axis=(1, 2, 3), keepdims=True)
+        tmpl = tmpl - tmpl.mean(axis=0, keepdims=True)
 
-    h00 = jnp.sum(tdx * tdx, axis=(1, 2, 3))
+    h00 = jnp.sum(tdx * tdx, axis=0)
     if params.nop == 2:
-        h01 = jnp.sum(tdx * tdy, axis=(1, 2, 3))
-        h11 = jnp.sum(tdy * tdy, axis=(1, 2, 3))
+        h01 = jnp.sum(tdx * tdy, axis=0)
+        h11 = jnp.sum(tdy * tdy, axis=0)
         det = h00 * h11 - h01 * h01
         guard = (det == 0.0).astype(h00.dtype) * 1e-10
-        hes = jnp.stack([h00 + guard, h01, h11 + guard], axis=1)
+        hes = jnp.stack([h00 + guard, h01, h11 + guard], axis=0)
     else:
         guard = (h00 == 0.0).astype(h00.dtype) * 1e-10
-        hes = (h00 + guard)[:, None]
+        hes = (h00 + guard)[None, :]
     return PatchTemplates(tmpl, tdx, tdy, hes)
 
 
-def _extract_bilinear_one(im: jnp.ndarray, pt: jnp.ndarray, psz: int,
-                          pad: int) -> jnp.ndarray:
-    """Bilinear patch extraction at a float position (patch.cpp:346-413).
+def _shifted_planes(im: jnp.ndarray, psz: int):
+    """Precompute column-shifted bf16 hi/lo planes of the padded level image.
 
-    The fractional part is constant across the patch, so the patch is a
-    4-weight combination of one integer-anchored (P+1)x(P+1) window.
-    Returns (P, P, C).
+    im: (C, Hp, Wp). Returns (lhs_hi, lhs_lo), each ((psz+1)*C*Hp, Wp) bf16:
+    row block s holds im[c, y, x+s] (zero beyond the right edge; those
+    columns are never selected because patch anchors are bounds-checked).
     """
-    pos_c = jnp.ceil(pt + 1e-5).astype(jnp.int32)       # ceil anchor
-    resid = pt - jnp.floor(pt)                           # vs floor (patch.cpp:361)
-    rx, ry = resid[0], resid[1]
-    w_cc = rx * ry            # sample at (ceil_x, ceil_y)
-    w_fc = (1.0 - rx) * ry    # (ceil_x - 1, ceil_y)
-    w_cf = rx * (1.0 - ry)    # (ceil_x, ceil_y - 1)
-    w_ff = (1.0 - rx) * (1.0 - ry)
-    start_y = pos_c[1] - psz // 2 - 1 + pad
-    start_x = pos_c[0] - psz // 2 - 1 + pad
-    c = im.shape[0]
-    win = jax.lax.dynamic_slice(im, (0, start_y, start_x), (c, psz + 1, psz + 1))
-    patch = (w_cc * win[:, 1:, 1:] + w_fc * win[:, 1:, :-1]
-             + w_cf * win[:, :-1, 1:] + w_ff * win[:, :-1, :-1])
-    return jnp.transpose(patch, (1, 2, 0))
+    c, hp, wp = im.shape
+    w1 = psz + 1
+    shifts = [
+        jnp.pad(im[:, :, s:], ((0, 0), (0, 0), (0, s))) for s in range(w1)
+    ]
+    stack = jnp.stack(shifts, axis=0)                  # (W1, C, Hp, Wp)
+    hi = stack.astype(jnp.bfloat16)
+    lo = (stack - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (hi.reshape(w1 * c * hp, wp), lo.reshape(w1 * c * hp, wp))
 
 
-def extract_bilinear(im: jnp.ndarray, pts: jnp.ndarray, psz: int,
-                     pad: int) -> jnp.ndarray:
-    """(C,Hp,Wp), (N,2) -> (N,P,P,C) batched bilinear patch extraction."""
-    return jax.vmap(lambda p: _extract_bilinear_one(im, p, psz, pad))(pts)
+def extract_bilinear_mxu(planes, pts: jnp.ndarray, psz: int, pad: int,
+                         c: int, hp: int, wp: int) -> jnp.ndarray:
+    """Bilinear patch extraction at float positions via one-hot MXU matmuls.
+
+    planes: output of _shifted_planes. pts: (N, 2) float positions.
+    Returns (D, N) with D = psz*psz*c, pixel order (j, i, c).
+
+    Implements getPatchStaticBil (patch.cpp:346-413): anchor = ceil(pt+1e-5),
+    residual vs floor(pt); patch(j,i) = lerp_y(lerp_x of the (P+1)^2 window).
+    """
+    lhs_hi, lhs_lo = planes
+    w1 = psz + 1
+    n = pts.shape[0]
+    pos_c = jnp.ceil(pts + 1e-5).astype(jnp.int32)     # (N, 2)
+    resid = pts - jnp.floor(pts)                       # (N, 2)
+    rx = resid[:, 0]
+    ry = resid[:, 1]
+    sx = pos_c[:, 0] - psz // 2 - 1 + pad              # (N,) anchor column
+    sy = pos_c[:, 1] - psz // 2 - 1 + pad              # (N,) anchor row
+
+    # exact 0/1 one-hot over columns, bf16 (values representable exactly)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (wp, n), 0)
+    onehot = (cols == sx[None, :]).astype(jnp.bfloat16)            # (Wp, N)
+
+    # MXU: T[s, ch, y, n] = im[ch, y, x = sx_n + s]
+    t = (jnp.dot(lhs_hi, onehot, preferred_element_type=jnp.float32)
+         + jnp.dot(lhs_lo, onehot, preferred_element_type=jnp.float32))
+    t = t.reshape(w1, c, hp, n)
+
+    # row selection + y-bilinear fused as a one-hot contraction over rows.
+    # (A take_along_axis gather here costs ~15x the MXU matmul on TPU: the
+    # per-lane sublane gather serializes. The dense one-hot multiply-reduce
+    # fuses on the VPU.)  dy[j, y, n] = ry*[y==sy+j+1] + (1-ry)*[y==sy+j]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (psz, hp, n), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (psz, hp, n), 0)
+    tgt = sy[None, None, :] + jj
+    dy = ((rows == tgt + 1).astype(jnp.float32) * ry[None, None, :]
+          + (rows == tgt).astype(jnp.float32) * (1.0 - ry[None, None, :]))
+    # gy[s, c, j, n] = sum_y t[s, c, y, n] * dy[j, y, n]
+    gy = (t[:, :, None, :, :] * dy[None, None, :, :, :]).sum(axis=3)
+
+    # x-bilinear across the shift axis (patch.cpp:361-375)
+    px = rx * gy[1:] + (1.0 - rx) * gy[:-1]                    # (P_i, C, P_j, N)
+    # to (j, i, c, n) -> (D, N)
+    patch = jnp.transpose(px, (2, 0, 1, 3))
+    return patch.reshape(psz * psz * c, n)
 
 
 def loss_error_image(diff: jnp.ndarray, costfct: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -161,13 +222,15 @@ def loss_error_image(diff: jnp.ndarray, costfct: int) -> Tuple[jnp.ndarray, jnp.
 
 
 def _solve_step(hes: jnp.ndarray, rhs: jnp.ndarray, nop: int) -> jnp.ndarray:
-    """Closed-form SPD solve of H dp = rhs (Eigen .llt().solve, patch.cpp:182)."""
+    """Closed-form SPD solve of H dp = rhs (Eigen .llt().solve, patch.cpp:182).
+
+    hes: (3, N) or (1, N); rhs: (nop, N). Returns (nop, N)."""
     if nop == 2:
-        h00, h01, h11 = hes[:, 0], hes[:, 1], hes[:, 2]
+        h00, h01, h11 = hes[0], hes[1], hes[2]
         det = h00 * h11 - h01 * h01
-        dp0 = (h11 * rhs[:, 0] - h01 * rhs[:, 1]) / det
-        dp1 = (h00 * rhs[:, 1] - h01 * rhs[:, 0]) / det
-        return jnp.stack([dp0, dp1], axis=1)
+        dp0 = (h11 * rhs[0] - h01 * rhs[1]) / det
+        dp1 = (h00 * rhs[1] - h01 * rhs[0]) / det
+        return jnp.stack([dp0, dp1], axis=0)
     return rhs / hes
 
 
@@ -182,43 +245,49 @@ def optimize_level(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
     from InitializeFromCoarserOF).
     """
     psz, pad, nop = params.p_samp_s, spec.pad, params.nop
+    noc = params.noc
     novals = float(params.novals)
-    pt_ref = grid_ref_points(spec)
+    pt_ref = grid_ref_points(spec)                      # (N, 2)
     n = pt_ref.shape[0]
+    hp, wp = im_b.shape[1], im_b.shape[2]
+    planes = _shifted_planes(im_b, psz)
+    p_init_t = p_init.T                                 # (nop, N)
+    pt_ref_t = pt_ref.T                                 # (2, N)
 
     def to_pt(p):
+        # (nop, N) -> (2, N)
         if nop == 2:
-            return pt_ref + p
-        return pt_ref + jnp.concatenate([p, jnp.zeros_like(p)], axis=1)
+            return pt_ref_t + p
+        return pt_ref_t + jnp.concatenate([p, jnp.zeros_like(p)], axis=0)
 
     def oob(pt):
-        return ((pt[:, 0] < spec.tmp_lb) | (pt[:, 1] < spec.tmp_lb)
-                | (pt[:, 0] > spec.tmp_ubw) | (pt[:, 1] > spec.tmp_ubh))
+        return ((pt[0] < spec.tmp_lb) | (pt[1] < spec.tmp_lb)
+                | (pt[0] > spec.tmp_ubw) | (pt[1] > spec.tmp_ubh))
 
     def compute_err(pt):
-        patch = extract_bilinear(im_b, pt, psz, pad)
+        patch = extract_bilinear_mxu(planes, pt.T, psz, pad, noc, hp, wp)
         if params.patnorm > 0:
-            patch = patch - patch.mean(axis=(1, 2, 3), keepdims=True)
+            patch = patch - patch.mean(axis=0, keepdims=True)
         pdiff, pweight = loss_error_image(patch - tpl.tmpl, params.costfct)
-        mares = jnp.sum(pweight, axis=(1, 2, 3)) / novals
+        mares = jnp.sum(pweight, axis=0) / novals
         return pdiff, pweight, mares
 
     # ---- OptimizeStart (patch.cpp:118-154)
-    pt0 = to_pt(p_init)
-    init_oob = oob(pt0)
-    pt0_safe = jnp.where(init_oob[:, None], pt_ref, pt0)  # safe gather pos only
+    pt0 = to_pt(p_init_t)
+    init_oob = oob(pt0)                                 # (N,)
+    pt0_safe = jnp.where(init_oob[None, :], pt_ref_t, pt0)  # safe gather pos
     pdiff0, pweight0, mares0 = compute_err(pt0_safe)
     # init-OOB patches: pdiff = template; pweight = cost-weight of template
     # (documented deviation, see module docstring)
     tmpl_pd, tmpl_pw = loss_error_image(tpl.tmpl, params.costfct)
-    m = init_oob[:, None, None, None]
+    m = init_oob[None, :]
     pdiff0 = jnp.where(m, tpl.tmpl, pdiff0)
     pweight0 = jnp.where(m, tmpl_pw, pweight0)
     # cnt==0 convergence: only the residual threshold can stop here
     active0 = (~init_oob) & (params.max_iter > 0) & (mares0 > params.res_thresh)
 
     state = dict(
-        p=p_init, pdiff=pdiff0, pweight=pweight0, active=active0,
+        p=p_init_t, pdiff=pdiff0, pweight=pweight0, active=active0,
         mares=mares0, mares_old=jnp.full((n,), 1e5, jnp.float32),
         dpn_init=jnp.full((n,), 1e-10, jnp.float32),
         it=jnp.asarray(0, jnp.int32),
@@ -231,12 +300,12 @@ def optimize_level(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
         act = s["active"]
         it1 = s["it"] + 1
         # steepest-descent projection (patch.cpp:175-180)
-        rhs0 = jnp.sum(tpl.tdx * s["pdiff"], axis=(1, 2, 3))
+        rhs0 = jnp.sum(tpl.tdx * s["pdiff"], axis=0)
         if nop == 2:
-            rhs1 = jnp.sum(tpl.tdy * s["pdiff"], axis=(1, 2, 3))
-            rhs = jnp.stack([rhs0, rhs1], axis=1)
+            rhs1 = jnp.sum(tpl.tdy * s["pdiff"], axis=0)
+            rhs = jnp.stack([rhs0, rhs1], axis=0)
         else:
-            rhs = rhs0[:, None]
+            rhs = rhs0[None, :]
         dp = _solve_step(tpl.hes, rhs, nop)
         p_new = s["p"] - dp
         if nop == 1:  # depth disparity sign clamp (patch.cpp:186-191)
@@ -246,13 +315,13 @@ def optimize_level(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
                 p_new = jnp.maximum(p_new, 0.0)
         pt_new = to_pt(p_new)
         # outlier / out-of-bounds reset (patch.cpp:196-206)
-        moved = jnp.linalg.norm(pt_new - pt0, axis=1)
+        moved = jnp.sqrt(jnp.sum((pt_new - pt0) ** 2, axis=0))
         reset = (moved > params.outlierthresh) | oob(pt_new)
-        p_new = jnp.where(reset[:, None], p_init, p_new)
+        p_new = jnp.where(reset[None, :], p_init_t, p_new)
         pt_new = to_pt(p_new)
         # error image at the new position (patch.cpp:275-295)
         pdiff_new, pweight_new, mares_new = compute_err(pt_new)
-        dp_sqnorm = jnp.sum(dp * dp, axis=1)
+        dp_sqnorm = jnp.sum(dp * dp, axis=0)
         dpn_init = jnp.where(it1 == 1, dp_sqnorm, s["dpn_init"])
         # convergence predicate (patch.cpp:290-293)
         keep = ((it1 < params.max_iter)
@@ -264,8 +333,9 @@ def optimize_level(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
         active_new = act & keep & (~reset)
 
         def sel(new, old):
-            mask = act.reshape((-1,) + (1,) * (new.ndim - 1))
-            return jnp.where(mask, new, old)
+            if new.ndim == 1:
+                return jnp.where(act, new, old)
+            return jnp.where(act[None, :], new, old)
 
         return dict(
             p=sel(p_new, s["p"]), pdiff=sel(pdiff_new, s["pdiff"]),
@@ -279,7 +349,8 @@ def optimize_level(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
 
     final = jax.lax.while_loop(cond, body, state)
     p = final["p"]
-    return PatchResult(p=p, pt=to_pt(p), pweight=final["pweight"],
+    return PatchResult(p=p.T, pt=to_pt(p).T,
+                       pweight=final["pweight"].reshape(psz, psz, noc, n),
                        iters=final["it"])
 
 

@@ -64,17 +64,20 @@ def test_optimize_level_matches_oracle(noc, costfct):
     pts = oracle.grid_layout(w, h, psz, prm.patove)
     assert len(pts) == n
     ps = np.asarray(res.p)
-    pws = np.asarray(res.pweight)
-    tmpl_o = np.asarray(tpl.tmpl)
+    pws = np.asarray(res.pweight)        # (P, P, C, N)
+    tmpl_o = np.asarray(tpl.tmpl)        # (D, N)
     for ip, (px, py) in enumerate(pts):
         t, gx, gy = oracle.extract_nn(im_a, dx_a, dy_a, px, py, psz, psz, 1)
-        np.testing.assert_allclose(tmpl_o[ip], t, atol=1e-4)
+        np.testing.assert_allclose(tmpl_o[:, ip].reshape(t.shape), t, atol=1e-4)
         hes = oracle.compute_hessian(gx, gy, 2)
         p_o, pw_o, _ = oracle.optimize_patch(
             im_b, t, gx, gy, hes, px, py, np.zeros(2, np.float32), oprm, bounds)
         np.testing.assert_allclose(ps[ip], p_o, atol=2e-3,
                                    err_msg=f"patch {ip} at ({px},{py})")
-        np.testing.assert_allclose(pws[ip], pw_o, atol=5e-3)
+        # L1's sqrt(|d|) has unbounded slope at d=0, amplifying the ~1e-3
+        # bf16-split extraction error to ~sqrt(1e-3) there
+        np.testing.assert_allclose(pws[..., ip], pw_o,
+                                   atol=0.04 if costfct == 1 else 5e-3)
 
 
 def test_densify_matches_oracle():
@@ -91,7 +94,7 @@ def test_densify_matches_oracle():
     flow = np.asarray(densify.aggregate_flow_dense(spec, prm, res))
 
     pts = oracle.grid_layout(w, h, psz, prm.patove)
-    results = [(np.asarray(res.p)[i], np.asarray(res.pweight)[i])
+    results = [(np.asarray(res.p)[i], np.asarray(res.pweight)[..., i])
                for i in range(spec.nopatches)]
     flow_o = oracle.aggregate(w, h, psz, 2, pts, results)
     np.testing.assert_allclose(flow, flow_o, atol=1e-4)
