@@ -40,7 +40,7 @@ def main():
     params = op_point_params(w_org, 2, nop=2, noc=1, verbosity=0)
 
     rng = np.random.default_rng(0)
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     base = rng.random((batch, 1, h_org, w_org)).astype(np.float32) * 255.0
     # smooth the noise so patch optimization does realistic work
     try:

@@ -32,21 +32,95 @@ from of_dis_tpu.params import DISParams, make_level_spec
 
 def _tv_refine(flow: jnp.ndarray, im_a, im_b, spec, params: DISParams,
                camlr: int) -> jnp.ndarray:
-    """Variational refinement of one scale's dense flow (VarRefClass,
-    refine_variational.cpp:25-116). `flow` (H,W,nop); im_a/im_b padded level
-    images (de-padded here, copyimage refine_variational.cpp:119-149)."""
+    """Batched variational refinement of one scale's dense flow (VarRefClass,
+    refine_variational.cpp:25-116). `flow` (B,H,W,nop); im_a/im_b (B,C,...)
+    padded level images (de-padded here, copyimage
+    refine_variational.cpp:119-149). TV is called on the whole batch (not
+    under vmap) so the fused Pallas kernel can block several pairs per
+    program."""
     pad = spec.pad
-    im1 = im_a[:, pad:-pad, pad:-pad]
-    im2 = im_b[:, pad:-pad, pad:-pad]
+    im1 = im_a[:, :, pad:-pad, pad:-pad]
+    im2 = im_b[:, :, pad:-pad, pad:-pad]
     n_inner = params.tv_innerit * (spec.level + 1)  # refine_variational.cpp:36
     kw = dict(alpha=params.tv_alpha, gamma=params.tv_gamma,
               delta=params.tv_delta, n_inner=n_inner,
               n_solver=params.tv_solverit, omega=params.tv_sor)
     if params.nop == 2:
-        wx, wy = tv.ref_level_of(flow[:, :, 0], flow[:, :, 1], im1, im2, **kw)
+        wx, wy = tv.ref_level_of_batched(flow[..., 0], flow[..., 1],
+                                         im1, im2, **kw)
         return jnp.stack([wx, wy], axis=-1)
-    wx = tv.ref_level_de(flow[:, :, 0], im1, im2, camlr=camlr, **kw)
-    return wx[:, :, None]
+    wx = tv.ref_level_de_batched(flow[..., 0], im1, im2, camlr=camlr, **kw)
+    return wx[..., None]
+
+
+def _dis_flow_core(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
+                   full_w: int, full_h: int,
+                   init_flow: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Batched coarse-to-fine DIS pipeline: im_a/im_b (B, C, H, W).
+
+    Patch stages (templates/optimize/densify) are vmapped per pair; TV runs
+    natively batched. Returns (B, H/2^sc_l, W/2^sc_l, nop).
+    """
+    pad = params.p_samp_s
+    ims_a, dxs_a, dys_a = jax.vmap(
+        lambda x: pyramid.build_pyramid(x, params.sc_f, pad))(im_a)
+    ims_b, dxs_b, dys_b = jax.vmap(
+        lambda x: pyramid.build_pyramid(x, params.sc_f, pad))(im_b)
+    batch = im_a.shape[0]
+
+    flow = None
+    flow_bw = None
+    for sl in range(params.sc_f, params.sc_l - 1, -1):
+        spec = make_level_spec(sl, full_w, full_h, params, camlr=0)
+        spec_bw = make_level_spec(sl, full_w, full_h, params, camlr=1)
+        ia, dxa, dya = ims_a[sl], dxs_a[sl], dys_a[sl]
+        ib, dxb, dyb = ims_b[sl], dxs_b[sl], dys_b[sl]
+
+        tpl_fw = jax.vmap(lambda a, dx, dy: patch_solver.extract_templates(
+            spec, params, a, dx, dy))(ia, dxa, dya)
+        if flow is None:
+            if init_flow is not None:
+                p_init = jax.vmap(lambda f: patch_solver.init_from_coarser(
+                    spec, params, f))(init_flow)
+            else:
+                p_init = jnp.zeros((batch, spec.nopatches, params.nop),
+                                   jnp.float32)
+        else:
+            p_init = jax.vmap(lambda f: patch_solver.init_from_coarser(
+                spec, params, f))(flow)
+        res_fw = jax.vmap(lambda b, t, p: patch_solver.optimize_level(
+            spec, params, b, t, p))(ib, tpl_fw, p_init)
+
+        res_bw = None
+        if params.usefbcon:
+            tpl_bw = jax.vmap(lambda a, dx, dy: patch_solver.extract_templates(
+                spec_bw, params, a, dx, dy))(ib, dxb, dyb)
+            if flow_bw is None:
+                p_init_bw = jnp.zeros((batch, spec_bw.nopatches, params.nop),
+                                      jnp.float32)
+            else:
+                p_init_bw = jax.vmap(lambda f: patch_solver.init_from_coarser(
+                    spec_bw, params, f))(flow_bw)
+            res_bw = jax.vmap(lambda a, t, p: patch_solver.optimize_level(
+                spec_bw, params, a, t, p))(ia, tpl_bw, p_init_bw)
+
+        if res_bw is not None:
+            flow = jax.vmap(lambda r, c: densify.aggregate_flow_dense(
+                spec, params, r, compl_res=c))(res_fw, res_bw)
+        else:
+            flow = jax.vmap(lambda r: densify.aggregate_flow_dense(
+                spec, params, r))(res_fw)
+        if params.usefbcon and sl > params.sc_l:
+            # backward aggregation skipped at the last scale (oflow.cpp:266)
+            flow_bw = jax.vmap(lambda r, c: densify.aggregate_flow_dense(
+                spec_bw, params, r, compl_res=c))(res_bw, res_fw)
+
+        if params.usetvref:
+            flow = _tv_refine(flow, ia, ib, spec, params, camlr=0)
+            if params.usefbcon and sl > params.sc_l:
+                flow_bw = _tv_refine(flow_bw, ib, ia, spec_bw, params,
+                                     camlr=1)
+    return flow
 
 
 @partial(jax.jit, static_argnames=("params", "full_w", "full_h"))
@@ -65,52 +139,9 @@ def dis_flow(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
     Returns dense flow (H/2^sc_l, W/2^sc_l, nop) at the finest computed scale
     (the caller rescales to full resolution; run_dense.cpp:408-412).
     """
-    pad = params.p_samp_s
-    ims_a, dxs_a, dys_a = pyramid.build_pyramid(im_a, params.sc_f, pad)
-    ims_b, dxs_b, dys_b = pyramid.build_pyramid(im_b, params.sc_f, pad)
-
-    flow = None
-    flow_bw = None
-    for sl in range(params.sc_f, params.sc_l - 1, -1):
-        spec = make_level_spec(sl, full_w, full_h, params, camlr=0)
-        spec_bw = make_level_spec(sl, full_w, full_h, params, camlr=1)
-        ia, dxa, dya = ims_a[sl], dxs_a[sl], dys_a[sl]
-        ib, dxb, dyb = ims_b[sl], dxs_b[sl], dys_b[sl]
-
-        tpl_fw = patch_solver.extract_templates(spec, params, ia, dxa, dya)
-        if flow is None:
-            if init_flow is not None:
-                p_init = patch_solver.init_from_coarser(spec, params, init_flow)
-            else:
-                p_init = jnp.zeros((spec.nopatches, params.nop), jnp.float32)
-        else:
-            p_init = patch_solver.init_from_coarser(spec, params, flow)
-        res_fw = patch_solver.optimize_level(spec, params, ib, tpl_fw, p_init)
-
-        res_bw = None
-        if params.usefbcon:
-            tpl_bw = patch_solver.extract_templates(spec_bw, params, ib, dxb, dyb)
-            if flow_bw is None:
-                p_init_bw = jnp.zeros((spec_bw.nopatches, params.nop),
-                                      jnp.float32)
-            else:
-                p_init_bw = patch_solver.init_from_coarser(spec_bw, params,
-                                                           flow_bw)
-            res_bw = patch_solver.optimize_level(spec_bw, params, ia, tpl_bw,
-                                                 p_init_bw)
-
-        flow = densify.aggregate_flow_dense(spec, params, res_fw,
-                                            compl_res=res_bw)
-        if params.usefbcon and sl > params.sc_l:
-            # backward aggregation skipped at the last scale (oflow.cpp:266)
-            flow_bw = densify.aggregate_flow_dense(spec_bw, params, res_bw,
-                                                   compl_res=res_fw)
-
-        if params.usetvref:
-            flow = _tv_refine(flow, ia, ib, spec, params, camlr=0)
-            if params.usefbcon and sl > params.sc_l:
-                flow_bw = _tv_refine(flow_bw, ib, ia, spec_bw, params, camlr=1)
-    return flow
+    init = None if init_flow is None else init_flow[None]
+    return _dis_flow_core(im_a[None], im_b[None], params, full_w, full_h,
+                          init)[0]
 
 
 def upscale_output(flow: jnp.ndarray, sc_l: int, out_h: int, out_w: int
@@ -136,13 +167,14 @@ def dis_flow_full(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
 @partial(jax.jit, static_argnames=("params", "full_w", "full_h"))
 def dis_flow_batched(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
                      full_w: int, full_h: int) -> jnp.ndarray:
-    """Throughput mode: vmap over a leading frame-pair batch axis.
+    """Throughput mode over a leading frame-pair batch axis.
 
     im_a, im_b: (B, C, H, W). Returns (B, H, W, nop) full-resolution flow.
     Shard the batch axis over a mesh with of_dis_tpu.parallel for multi-chip.
     """
-    fn = lambda a, b: dis_flow_full(a, b, params, full_w, full_h)
-    return jax.vmap(fn)(im_a, im_b)
+    flow = _dis_flow_core(im_a, im_b, params, full_w, full_h)
+    return jax.vmap(lambda f: upscale_output(f, params.sc_l, full_h,
+                                             full_w))(flow)
 
 
 def warm_start_from_full(flow_full: jnp.ndarray, sc_f: int) -> jnp.ndarray:
@@ -255,9 +287,11 @@ def dis_flow_timed(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
 
         t0 = clock()
         if params.usetvref:
-            flow = _tv_refine(flow, ia, ib, spec, params, camlr=0)
+            flow = _tv_refine(flow[None], ia[None], ib[None], spec, params,
+                              camlr=0)[0]
             if params.usefbcon and sl > params.sc_l:
-                flow_bw = _tv_refine(flow_bw, ib, ia, spec_bw, params, camlr=1)
+                flow_bw = _tv_refine(flow_bw[None], ib[None], ia[None],
+                                     spec_bw, params, camlr=1)[0]
             jax.block_until_ready(flow)
         t_tvopt = clock() - t0
 

@@ -107,15 +107,43 @@ def extract_templates(spec: LevelSpec, params: DISParams, im: jnp.ndarray,
     im/dx/dy: (C, Hp, Wp) padded level images. Reference: patch.cpp:55-86.
     """
     psz = params.p_samp_s
-    rows, cols = _template_indices(spec, psz)
-    r = jnp.asarray(rows)[:, :, None]   # (N, P, 1)
-    c = jnp.asarray(cols)[:, None, :]   # (N, 1, P)
+    steps = spec.steps
+    if psz % steps == 0:
+        # Gather-free im2col: template windows lie on a regular grid, so
+        # with j = a*steps + u the sample at (patch iy, row j) is the block
+        # view B[iy + a, u] — m*m static slices of a strided reshape replace
+        # the (N,P,P) gather (patch.cpp:311-325 semantics, TPU-first form).
+        m = psz // steps
+        lb = -psz // 2
+        ybase = spec.offseth + lb + spec.pad
+        xbase = spec.offsetw + lb + spec.pad
+        noph, nopw = spec.noph, spec.nopw
 
-    def gather(imgs):
-        # (C, Hp, Wp) -> (C, N, P, P) -> (P, P, C, N) -> (D, N)
-        g = imgs[:, r, c]
-        g = jnp.transpose(g, (2, 3, 0, 1))
-        return g.reshape(-1, g.shape[-1])
+        def gather(imgs):
+            cdim = imgs.shape[0]
+            region = jax.lax.slice(
+                imgs, (0, ybase, xbase),
+                (cdim, ybase + (noph + m - 1) * steps,
+                 xbase + (nopw + m - 1) * steps))
+            blk = region.reshape(cdim, noph + m - 1, steps,
+                                 nopw + m - 1, steps)
+            slabs = [blk[:, a:a + noph, :, b:b + nopw, :]
+                     for a in range(m) for b in range(m)]
+            st = jnp.stack(slabs, 0).reshape(
+                m, m, cdim, noph, steps, nopw, steps)
+            # -> (j=(a,u), i=(b,v), c, n=(ix, iy))
+            st = jnp.transpose(st, (0, 4, 1, 6, 2, 5, 3))
+            return st.reshape(psz * psz * cdim, nopw * noph)
+    else:
+        rows, cols = _template_indices(spec, psz)
+        r = jnp.asarray(rows)[:, :, None]   # (N, P, 1)
+        c = jnp.asarray(cols)[:, None, :]   # (N, 1, P)
+
+        def gather(imgs):
+            # (C, Hp, Wp) -> (C, N, P, P) -> (P, P, C, N) -> (D, N)
+            g = imgs[:, r, c]
+            g = jnp.transpose(g, (2, 3, 0, 1))
+            return g.reshape(-1, g.shape[-1])
 
     tmpl = gather(im)
     tdx = gather(dx)

@@ -41,7 +41,10 @@ EPS_SMOOTH = 0.001 * 0.001
 def warp_image(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bilinear backward warp with clamped sampling + in-bounds mask
-    (image_warp, opticalflow_aux.c:33-75). src (C,H,W); wx/wy (H,W)."""
+    (image_warp, opticalflow_aux.c:33-75). src (C,H,W); wx/wy (H,W).
+
+    Corners are fetched as four flat single-axis gathers — a 2D
+    advanced-index gather on a (C,H,W) operand lowers ~10x slower on TPU."""
     c, h, w = src.shape
     gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
@@ -57,10 +60,19 @@ def warp_image(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray
     x2 = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
     y1 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     y2 = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
-    v11 = src[:, y1, x1]
-    v12 = src[:, y1, x2]
-    v21 = src[:, y2, x1]
-    v22 = src[:, y2, x2]
+    flat = src.reshape(c, h * w)
+
+    def take(iy_, ix_):
+        # per-channel 1-D takes: any unit/batch dim around the gather axis
+        # makes XLA:TPU pick a much slower lowering
+        idx = (iy_ * w + ix_).reshape(h * w)
+        g = [jnp.take(flat[ch], idx) for ch in range(c)]
+        return jnp.stack(g, 0).reshape(c, h, w)
+
+    v11 = take(y1, x1)
+    v12 = take(y1, x2)
+    v21 = take(y2, x1)
+    v22 = take(y2, x2)
     out = (v11 * (1 - dx) * (1 - dy) + v12 * dx * (1 - dy)
            + v21 * (1 - dx) * dy + v22 * dx * dy)
     return out, mask
@@ -68,13 +80,70 @@ def warp_image(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray
 
 # ----------------------------------------------------- derivative filters
 
+# When True, the shift helpers below are being traced inside a Pallas TPU
+# kernel: Mosaic cannot lower sub-tile concatenates, so shifts become
+# pltpu.roll + iota masks there. Set only around kernel-body tracing.
+_PALLAS_MODE = False
+
+
+def _edge_pad(x: jnp.ndarray, axis: int, lo: int, hi: int) -> jnp.ndarray:
+    """Replicate-pad via explicit concatenation (jnp.pad's edge mode creates
+    zero-size intermediates that Mosaic rejects inside Pallas kernels)."""
+    idx_lo = [slice(None)] * x.ndim
+    idx_lo[axis] = slice(0, 1)
+    idx_hi = [slice(None)] * x.ndim
+    idx_hi[axis] = slice(x.shape[axis] - 1, None)
+    parts = [x[tuple(idx_lo)]] * lo + [x] + [x[tuple(idx_hi)]] * hi
+    return jnp.concatenate(parts, axis)
+
+
+def _zero_pad(x: jnp.ndarray, axis: int, lo: int, hi: int) -> jnp.ndarray:
+    """Zero-pad via explicit concatenation (Pallas/Mosaic-safe)."""
+    shape_lo = list(x.shape)
+    shape_lo[axis] = lo
+    shape_hi = list(x.shape)
+    shape_hi[axis] = hi
+    parts = []
+    if lo:
+        parts.append(jnp.zeros(shape_lo, x.dtype))
+    parts.append(x)
+    if hi:
+        parts.append(jnp.zeros(shape_hi, x.dtype))
+    return jnp.concatenate(parts, axis) if len(parts) > 1 else x
+
+
+def _nbr(x: jnp.ndarray, axis: int, k: int, zero: bool = True) -> jnp.ndarray:
+    """out[i] = x[i+k] along `axis`; out-of-range reads give 0 (zero=True)
+    or the clamped edge value (zero=False, |k|==1 only).
+
+    Dual lowering: concat-of-slices for XLA; pltpu.roll + iota mask inside
+    Pallas kernels (sub-tile concatenation is unsupported by Mosaic).
+    """
+    n = x.shape[axis]
+    if _PALLAS_MODE:
+        from jax.experimental.pallas import tpu as pltpu
+        # pltpu.roll and broadcasted_iota require non-negative axes
+        y = pltpu.roll(x, (-k) % n, axis % x.ndim)
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis % x.ndim)
+        valid = (idx + k >= 0) & (idx + k < n)
+        if zero:
+            return jnp.where(valid, y, 0.0)
+        assert abs(k) == 1, "clamped shift only needed for |k|=1 in-kernel"
+        return jnp.where(valid, y, x)  # the single OOB line clamps to itself
+    take = [slice(None)] * x.ndim
+    take[axis] = slice(k, None) if k >= 0 else slice(None, n + k)
+    body = x[tuple(take)]
+    pad = _zero_pad if zero else _edge_pad
+    if k >= 0:
+        return pad(body, axis, 0, k)
+    return pad(body, axis, -k, 0)
+
+
 def _d5(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     """5-tap derivative [1,-8,0,8,-1]/12 along `axis`, replicate border
     (the reference's anti-symmetric order-2 filter, refine_variational.cpp:45-46,
     applied with clamped borders by convolve_*_fast_5, image.cpp:578-624)."""
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (2, 2)
-    p = jnp.pad(x, pad, mode="edge")
+    p = _edge_pad(x, axis, 2, 2)
 
     def sl(o):
         idx = [slice(None)] * x.ndim
@@ -88,17 +157,7 @@ def _d5(x: jnp.ndarray, axis: int) -> jnp.ndarray:
 def _d3(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     """3-tap central difference [-0.5,0,0.5], replicate border (the flow
     derivative filter, refine_variational.cpp:47-48)."""
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (1, 1)
-    p = jnp.pad(x, pad, mode="edge")
-
-    def sl(o):
-        idx = [slice(None)] * x.ndim
-        n = x.shape[axis]
-        idx[axis] = slice(o, o + n)
-        return p[tuple(idx)]
-
-    return 0.5 * (sl(2) - sl(0))
+    return 0.5 * (_nbr(x, axis, 1, zero=False) - _nbr(x, axis, -1, zero=False))
 
 
 def get_derivatives(im1: jnp.ndarray, w_im2: jnp.ndarray):
@@ -127,27 +186,31 @@ def compute_smoothness(uu: jnp.ndarray, vv: jnp.ndarray, quarter_alpha: float
 
     dst_horiz[j,i] couples (j,i)<->(j,i+1); last column is zero.
     dst_vert[j,i] couples (j,i)<->(j+1,i); last row is zero."""
-    ux = _d3(uu, 1)
-    uy = _d3(uu, 0)
-    vx = _d3(vv, 1)
-    vy = _d3(vv, 0)
+    ux = _d3(uu, -1)
+    uy = _d3(uu, -2)
+    vx = _d3(vv, -1)
+    vy = _d3(vv, -2)
     s = quarter_alpha / jnp.sqrt(EPS_SMOOTH + ux * ux + uy * uy
                                  + vx * vx + vy * vy)
-    horiz = jnp.concatenate([s[:, :-1] + s[:, 1:],
-                             jnp.zeros_like(s[:, :1])], axis=1)
-    vert = jnp.concatenate([s[:-1, :] + s[1:, :],
-                            jnp.zeros_like(s[:1, :])], axis=0)
+    h, w = s.shape[-2], s.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 2)
+    horiz = jnp.where(col < w - 1, s + _nbr(s, -1, 1), 0.0)
+    vert = jnp.where(row < h - 1, s + _nbr(s, -2, 1), 0.0)
     return horiz, vert
 
 
 def sub_laplacian(b: jnp.ndarray, src: jnp.ndarray, wh: jnp.ndarray,
                   wv: jnp.ndarray) -> jnp.ndarray:
     """b += div(w * grad(src)) flux update (sub_laplacian,
-    opticalflow_aux.c:194-223). All (H,W)."""
-    th = wh[:, :-1] * (src[:, 1:] - src[:, :-1])   # (H, W-1)
-    b = b.at[:, :-1].add(th).at[:, 1:].add(-th)
-    tv = wv[:-1, :] * (src[1:, :] - src[:-1, :])   # (H-1, W)
-    b = b.at[:-1, :].add(tv).at[1:, :].add(-tv)
+    opticalflow_aux.c:194-223). All (H,W).
+
+    Full-width fluxes: wh/wv have zeroed last col/row (compute_smoothness),
+    so the flux at the boundary is already zero."""
+    th = wh * (_nbr(src, -1, 1) - src)             # (..., H, W), last col 0
+    b = b + th - _nbr(th, -1, -1)
+    tv = wv * (_nbr(src, -2, 1) - src)             # (..., H, W), last row 0
+    b = b + tv - _nbr(tv, -2, -1)
     return b
 
 
@@ -314,18 +377,20 @@ def compute_data_de_rgb(mask, du, I, half_delta_over3, half_gamma_over3):
 
 # ------------------------------------------------------------------- SOR
 
-def _neighbor_terms(x: jnp.ndarray, wh: jnp.ndarray, wv: jnp.ndarray):
-    """Sum of weighted 4-neighborhood values and weights (the sigma / dpsis
-    sums of solver.c:42-64). Boundary neighbors contribute zero via the
-    zeroed last row/col of wv/wh and zero padding of the shifted terms."""
-    up_w = jnp.pad(wv[:-1, :], ((1, 0), (0, 0)))
-    left_w = jnp.pad(wh[:, :-1], ((0, 0), (1, 0)))
-    nb = (up_w * jnp.pad(x[:-1, :], ((1, 0), (0, 0)))
-          + left_w * jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
-          + wv * jnp.pad(x[1:, :], ((0, 1), (0, 0)))
-          + wh * jnp.pad(x[:, 1:], ((0, 0), (0, 1))))
+def _weight_shifts(wh: jnp.ndarray, wv: jnp.ndarray):
+    """Iteration-invariant neighbor weights: (up_w, left_w, wsum)
+    (the dpsis sums of solver.c:42-64). Boundary neighbors contribute zero
+    via the zeroed last row/col of wv/wh and the zero-padded shifts."""
+    up_w = _nbr(wv, -2, -1)
+    left_w = _nbr(wh, -1, -1)
     wsum = up_w + left_w + wv + wh
-    return nb, wsum
+    return up_w, left_w, wsum
+
+
+def _neighbor_sum(x, wh, wv, up_w, left_w):
+    """Sum of weighted 4-neighborhood values (sigma of solver.c:42-64)."""
+    return (up_w * _nbr(x, -2, -1) + left_w * _nbr(x, -1, -1)
+            + wv * _nbr(x, -2, 1) + wh * _nbr(x, -1, 1))
 
 
 def sor_coupled_rb(du, dv, a11, a12, a22, b1, b2, wh, wv, iterations: int,
@@ -334,22 +399,23 @@ def sor_coupled_rb(du, dv, a11, a12, a22, b1, b2, wh, wv, iterations: int,
 
     Per-pixel update identical to sor_coupled_slow_but_readable
     (solver.c:34-78): du then dv, dv using the freshly updated du. Red-black
-    replaces the raster sweep (see module docstring)."""
-    h, w = du.shape
-    ii = jnp.arange(h)[:, None] + jnp.arange(w)[None, :]
+    replaces the raster sweep (see module docstring). All iteration-invariant
+    terms (neighbor weights, diagonal reciprocals) are hoisted out of the
+    color steps."""
+    ii = (jax.lax.broadcasted_iota(jnp.int32, du.shape, du.ndim - 2)
+          + jax.lax.broadcasted_iota(jnp.int32, du.shape, du.ndim - 1))
     red = (ii % 2 == 0)
+    up_w, left_w, wsum = _weight_shifts(wh, wv)
+    om_a11 = omega / (a11 + wsum)
+    om_a22 = omega / (a22 + wsum)
 
     def one_color(carry, mask):
         du, dv = carry
-        nb_u, wsum = _neighbor_terms(du, wh, wv)
-        nb_v, _ = _neighbor_terms(dv, wh, wv)
-        A11 = a11 + wsum
-        A22 = a22 + wsum
-        B1 = b1 + nb_u
-        B2 = b2 + nb_v
-        du_new = (1.0 - omega) * du + (omega / A11) * (B1 - a12 * dv)
+        b1n = b1 + _neighbor_sum(du, wh, wv, up_w, left_w)
+        b2n = b2 + _neighbor_sum(dv, wh, wv, up_w, left_w)
+        du_new = (1.0 - omega) * du + om_a11 * (b1n - a12 * dv)
         du = jnp.where(mask, du_new, du)
-        dv_new = (1.0 - omega) * dv + (omega / A22) * (B2 - a12 * du)
+        dv_new = (1.0 - omega) * dv + om_a22 * (b2n - a12 * du)
         dv = jnp.where(mask, dv_new, dv)
         return du, dv
 
@@ -365,15 +431,15 @@ def sor_coupled_rb(du, dv, a11, a12, a22, b1, b2, wh, wv, iterations: int,
 def sor_de_rb(du, a11, b1, wh, wv, iterations: int, omega: float):
     """1-D depth SOR (sor_coupled_slow_but_readable_DE, solver.c:439-471),
     red-black ordering."""
-    h, w = du.shape
-    ii = jnp.arange(h)[:, None] + jnp.arange(w)[None, :]
+    ii = (jax.lax.broadcasted_iota(jnp.int32, du.shape, du.ndim - 2)
+          + jax.lax.broadcasted_iota(jnp.int32, du.shape, du.ndim - 1))
     red = (ii % 2 == 0)
+    up_w, left_w, wsum = _weight_shifts(wh, wv)
+    om_a11 = omega / (a11 + wsum)
 
     def one_color(du, mask):
-        nb_u, wsum = _neighbor_terms(du, wh, wv)
-        A11 = a11 + wsum
-        B1 = b1 + nb_u
-        du_new = (1.0 - omega) * du + omega * (B1 / A11)
+        b1n = b1 + _neighbor_sum(du, wh, wv, up_w, left_w)
+        du_new = (1.0 - omega) * du + om_a11 * b1n
         return jnp.where(mask, du_new, du)
 
     def body(_, du):
@@ -386,20 +452,31 @@ def sor_de_rb(du, a11, b1, wh, wv, iterations: int, omega: float):
 
 # ------------------------------------------------------------ level glue
 
-def ref_level_of(wx, wy, im1, im2, *, alpha, gamma, delta, n_inner,
-                 n_solver, omega):
-    """One level of flow refinement (RefLevelOF, refine_variational.cpp:
-    152-247). im1/im2 (C,H,W) de-padded; wx/wy (H,W). Returns refined (wx, wy).
+# Fields resident in VMEM for the fused Pallas TV kernel: ~30 (H,W) planes
+# (derivatives, system coefficients, weights, solver state). Levels whose
+# working set exceeds this budget fall back to the pure-XLA path.
+_PALLAS_VMEM_BUDGET = 12 * 1024 * 1024
 
-    Parameter pre-scaling follows refine_variational.cpp:40-43:
-    quarter_alpha = alpha/4, half_delta_over3 = delta/6, half_gamma_over3 =
-    gamma/6; beta (matching term) is fixed to 0."""
-    noc = im1.shape[0]
-    quarter_alpha = 0.25 * alpha
-    hd3 = delta * 0.5 / 3.0
-    hg3 = gamma * 0.5 / 3.0
-    w_im2, mask = warp_image(im2, wx, wy)
-    I = get_derivatives(im1, w_im2)
+
+def _use_pallas(h: int, w: int, noc: int) -> bool:
+    import os
+    if os.environ.get("OF_DIS_TPU_NO_PALLAS"):
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    if backend != "tpu":
+        return False
+    nfields = 14 + 8 * noc + 8
+    return h * w * 4 * nfields < _PALLAS_VMEM_BUDGET
+
+
+def _of_inner_loop(wx, wy, mask, I, *, noc, quarter_alpha, hd3, hg3,
+                   n_inner, n_solver, omega):
+    """The per-level fixed-point iteration of RefLevelOF
+    (refine_variational.cpp:182-224), shared verbatim between the pure-XLA
+    path and the Pallas kernel body. All fields (H, W); I entries (C, H, W)."""
 
     def inner(_, carry):
         du, dv, uu, vv = carry
@@ -420,18 +497,200 @@ def ref_level_of(wx, wy, im1, im2, *, alpha, gamma, delta, n_inner,
     return uu, vv
 
 
-def ref_level_de(wx, im1, im2, *, alpha, gamma, delta, n_inner, n_solver,
-                 omega, camlr: int):
-    """One level of depth refinement (RefLevelDE, refine_variational.cpp:
-    250-342). Disparity sign clamped per camera after each inner iteration
-    (refine_variational.cpp:305-320)."""
-    noc = im1.shape[0]
+def _of_inner_pallas(wx, wy, mask, i_stack, *, noc, quarter_alpha, hd3, hg3,
+                     n_inner, n_solver, omega):
+    """Fused Pallas TPU kernel running the whole TV inner loop in VMEM.
+
+    The pure-XLA path executes ~360 small elementwise ops per inner
+    iteration on (H,W) fields; at the DIS scales those fields are tiny and
+    per-op overhead dominates. Fusing the entire fixed-point loop into one
+    kernel keeps every field resident in VMEM. i_stack: (8, C, H, W).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(wx_ref, wy_ref, mask_ref, i_ref, uu_ref, vv_ref):
+        global _PALLAS_MODE
+        i_fields = [i_ref[k] for k in range(8)]
+        _PALLAS_MODE = True
+        try:
+            uu, vv = _of_inner_loop(
+                wx_ref[:], wy_ref[:], mask_ref[:], i_fields, noc=noc,
+                quarter_alpha=quarter_alpha, hd3=hd3, hg3=hg3,
+                n_inner=n_inner, n_solver=n_solver, omega=omega)
+        finally:
+            _PALLAS_MODE = False
+        uu_ref[:] = uu
+        vv_ref[:] = vv
+
+    out = jax.ShapeDtypeStruct(wx.shape, wx.dtype)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(out, out),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+    )(wx, wy, mask, i_stack)
+
+
+def _pick_bb(batch: int, h: int, w: int, noc: int) -> int:
+    """Largest divisor of `batch` whose (bB,H,W) working set fits VMEM."""
+    nfields = 14 + 8 * noc + 8
+    cap = max(1, _PALLAS_VMEM_BUDGET // (h * w * 4 * nfields))
+    bb = min(batch, cap, 8)
+    while batch % bb:
+        bb -= 1
+    return bb
+
+
+def _of_inner_pallas_batched(wx, wy, mask, i_stack, *, bb, noc,
+                             quarter_alpha, hd3, hg3, n_inner, n_solver,
+                             omega):
+    """Batched fused TV kernel: each grid program runs `bb` frame pairs.
+
+    wx/wy/mask (B,H,W); i_stack (8,C,B,H,W). One pair per program wastes the
+    VPU on tiny (H,W) fields and pays per-program overhead B times; blocking
+    bb pairs gives each vector op bb*H*W elements.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w = wx.shape
+    c = i_stack.shape[1]
+
+    def kernel(wx_ref, wy_ref, mask_ref, i_ref, uu_ref, vv_ref):
+        global _PALLAS_MODE
+        i_fields = [i_ref[k] for k in range(8)]   # (C, bb, H, W)
+        _PALLAS_MODE = True
+        try:
+            uu, vv = _of_inner_loop(
+                wx_ref[:], wy_ref[:], mask_ref[:], i_fields, noc=noc,
+                quarter_alpha=quarter_alpha, hd3=hd3, hg3=hg3,
+                n_inner=n_inner, n_solver=n_solver, omega=omega)
+        finally:
+            _PALLAS_MODE = False
+        uu_ref[:] = uu
+        vv_ref[:] = vv
+
+    fld = pl.BlockSpec((bb, h, w), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    istk = pl.BlockSpec((8, c, bb, h, w), lambda i: (0, 0, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct(wx.shape, wx.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        out_shape=(out, out),
+        in_specs=[fld, fld, fld, istk],
+        out_specs=(fld, fld),
+    )(wx, wy, mask, i_stack)
+
+
+def ref_level_of_batched(wx, wy, im1, im2, *, alpha, gamma, delta, n_inner,
+                         n_solver, omega):
+    """Batched flow refinement: wx/wy (B,H,W), im1/im2 (B,C,H,W).
+
+    Same math as ref_level_of; on TPU the inner loop runs as the fused
+    Pallas kernel with several pairs per program."""
+    b, noc, h, w = im1.shape
+    quarter_alpha = 0.25 * alpha
+    hd3 = delta * 0.5 / 3.0
+    hg3 = gamma * 0.5 / 3.0
+    w_im2, mask = jax.vmap(warp_image)(im2, wx, wy)
+    I = jax.vmap(get_derivatives)(im1, w_im2)      # 8 x (B,C,H,W)
+    kw = dict(noc=noc, quarter_alpha=quarter_alpha, hd3=hd3, hg3=hg3,
+              n_inner=n_inner, n_solver=n_solver, omega=omega)
+    if _use_pallas(h, w, noc):
+        i_stack = jnp.stack(I, 0).transpose(0, 2, 1, 3, 4)   # (8,C,B,H,W)
+        return _of_inner_pallas_batched(
+            wx, wy, mask, i_stack, bb=_pick_bb(b, h, w, noc), **kw)
+    i_t = [f.transpose(1, 0, 2, 3) for f in I]               # (C,B,H,W)
+    return _of_inner_loop(wx, wy, mask, i_t, **kw)
+
+
+def _de_inner_pallas_batched(wx, mask, i_stack, *, bb, noc, camlr,
+                             quarter_alpha, hd3, hg3, n_inner, n_solver,
+                             omega):
+    """Batched fused depth-TV kernel (see _of_inner_pallas_batched)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w = wx.shape
+    c = i_stack.shape[1]
+
+    def kernel(wx_ref, mask_ref, i_ref, uu_ref):
+        global _PALLAS_MODE
+        i_fields = [i_ref[k] for k in range(8)]
+        _PALLAS_MODE = True
+        try:
+            uu = _de_inner_loop(
+                wx_ref[:], mask_ref[:], i_fields, noc=noc, camlr=camlr,
+                quarter_alpha=quarter_alpha, hd3=hd3, hg3=hg3,
+                n_inner=n_inner, n_solver=n_solver, omega=omega)
+        finally:
+            _PALLAS_MODE = False
+        uu_ref[:] = uu
+
+    fld = pl.BlockSpec((bb, h, w), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    istk = pl.BlockSpec((8, c, bb, h, w), lambda i: (0, 0, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        out_shape=jax.ShapeDtypeStruct(wx.shape, wx.dtype),
+        in_specs=[fld, fld, istk],
+        out_specs=fld,
+    )(wx, mask, i_stack)
+
+
+def ref_level_de_batched(wx, im1, im2, *, alpha, gamma, delta, n_inner,
+                         n_solver, omega, camlr: int):
+    """Batched depth refinement: wx (B,H,W), im1/im2 (B,C,H,W)."""
+    b, noc, h, w = im1.shape
     quarter_alpha = 0.25 * alpha
     hd3 = delta * 0.5 / 3.0
     hg3 = gamma * 0.5 / 3.0
     wy0 = jnp.zeros_like(wx)
-    w_im2, mask = warp_image(im2, wx, wy0)
+    w_im2, mask = jax.vmap(warp_image)(im2, wx, wy0)
+    I = jax.vmap(get_derivatives)(im1, w_im2)
+    kw = dict(noc=noc, camlr=camlr, quarter_alpha=quarter_alpha, hd3=hd3,
+              hg3=hg3, n_inner=n_inner, n_solver=n_solver, omega=omega)
+    if _use_pallas(h, w, noc):
+        i_stack = jnp.stack(I, 0).transpose(0, 2, 1, 3, 4)
+        return _de_inner_pallas_batched(
+            wx, mask, i_stack, bb=_pick_bb(b, h, w, noc), **kw)
+    i_t = [f.transpose(1, 0, 2, 3) for f in I]
+    return _de_inner_loop(wx, mask, i_t, **kw)
+
+
+def ref_level_of(wx, wy, im1, im2, *, alpha, gamma, delta, n_inner,
+                 n_solver, omega):
+    """One level of flow refinement (RefLevelOF, refine_variational.cpp:
+    152-247). im1/im2 (C,H,W) de-padded; wx/wy (H,W). Returns refined (wx, wy).
+
+    Parameter pre-scaling follows refine_variational.cpp:40-43:
+    quarter_alpha = alpha/4, half_delta_over3 = delta/6, half_gamma_over3 =
+    gamma/6; beta (matching term) is fixed to 0."""
+    noc = im1.shape[0]
+    quarter_alpha = 0.25 * alpha
+    hd3 = delta * 0.5 / 3.0
+    hg3 = gamma * 0.5 / 3.0
+    w_im2, mask = warp_image(im2, wx, wy)
     I = get_derivatives(im1, w_im2)
+    kw = dict(noc=noc, quarter_alpha=quarter_alpha, hd3=hd3, hg3=hg3,
+              n_inner=n_inner, n_solver=n_solver, omega=omega)
+    h, w = wx.shape
+    if _use_pallas(h, w, noc):
+        return _of_inner_pallas(wx, wy, mask, jnp.stack(I, 0), **kw)
+    return _of_inner_loop(wx, wy, mask, I, **kw)
+
+
+def _de_inner_loop(wx, mask, I, *, noc, camlr, quarter_alpha, hd3, hg3,
+                   n_inner, n_solver, omega):
+    """The per-level fixed-point iteration of RefLevelDE
+    (refine_variational.cpp:251-342), shared between XLA and Pallas paths."""
+    wy0 = jnp.zeros_like(wx)
 
     def inner(_, carry):
         du, uu = carry
@@ -452,3 +711,51 @@ def ref_level_de(wx, im1, im2, *, alpha, gamma, delta, n_inner, n_solver,
     _, uu = jax.lax.fori_loop(0, n_inner, inner,
                               (jnp.zeros_like(wx), wx))
     return uu
+
+
+def _de_inner_pallas(wx, mask, i_stack, *, noc, camlr, quarter_alpha, hd3,
+                     hg3, n_inner, n_solver, omega):
+    """Fused Pallas TPU kernel for the depth TV inner loop (see
+    _of_inner_pallas). i_stack: (8, C, H, W)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(wx_ref, mask_ref, i_ref, uu_ref):
+        global _PALLAS_MODE
+        i_fields = [i_ref[k] for k in range(8)]
+        _PALLAS_MODE = True
+        try:
+            uu = _de_inner_loop(
+                wx_ref[:], mask_ref[:], i_fields, noc=noc, camlr=camlr,
+                quarter_alpha=quarter_alpha, hd3=hd3, hg3=hg3,
+                n_inner=n_inner, n_solver=n_solver, omega=omega)
+        finally:
+            _PALLAS_MODE = False
+        uu_ref[:] = uu
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(wx.shape, wx.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(wx, mask, i_stack)
+
+
+def ref_level_de(wx, im1, im2, *, alpha, gamma, delta, n_inner, n_solver,
+                 omega, camlr: int):
+    """One level of depth refinement (RefLevelDE, refine_variational.cpp:
+    250-342). Disparity sign clamped per camera after each inner iteration
+    (refine_variational.cpp:305-320)."""
+    noc = im1.shape[0]
+    quarter_alpha = 0.25 * alpha
+    hd3 = delta * 0.5 / 3.0
+    hg3 = gamma * 0.5 / 3.0
+    wy0 = jnp.zeros_like(wx)
+    w_im2, mask = warp_image(im2, wx, wy0)
+    I = get_derivatives(im1, w_im2)
+    kw = dict(noc=noc, camlr=camlr, quarter_alpha=quarter_alpha, hd3=hd3,
+              hg3=hg3, n_inner=n_inner, n_solver=n_solver, omega=omega)
+    h, w = wx.shape
+    if _use_pallas(h, w, noc):
+        return _de_inner_pallas(wx, mask, jnp.stack(I, 0), **kw)
+    return _de_inner_loop(wx, mask, I, **kw)
