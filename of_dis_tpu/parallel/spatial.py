@@ -1,0 +1,223 @@
+"""Spatial (row) sharding of TV refinement with ICI halo exchange.
+
+The reference is single-process and its largest working set is one frame
+(SURVEY.md §5: arbitrary sizes handled by padding); on TPU, frames whose TV
+working set exceeds one chip's memory shard ROW-wise over the mesh and
+exchange halos over ICI. This is the long-sequence/context-parallel analogue
+for this workload (SURVEY.md §2 parallelism table).
+
+Method: ghost zones. One inner iteration of the TV fixed-point loop has a
+bounded vertical dependency reach (derivative stencils, the sub-laplacian
+flux, and 2*n_solver red-black neighbor sums), so each shard:
+
+  1. receives a D-row halo of the flow from its neighbors (one
+     jax.lax.ppermute pair — the only communication),
+  2. runs the STOCK inner loop (of_dis_tpu.ops.tv) on its padded block,
+  3. crops the interior, which is exact: boundary-condition errors at the
+     padded edges propagate at most `reach` rows per iteration and D is
+     sized so they never reach the interior.
+
+Global edge semantics are preserved by (a) filling out-of-image halo rows
+with replicated edge rows (which reproduces the clamped 5-tap/3-tap
+derivative borders exactly), (b) computing the warp with global row
+coordinates, and (c) zeroing the vertical smoothness coupling at the true
+global last row (the reference's boundary handling flows entirely through
+the zeroed weights, solver.c:42-64).
+
+Reference: refine_variational.cpp:152-247 (the computation being sharded).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from of_dis_tpu.ops import tv
+
+
+def halo_depth(n_inner: int, n_solver: int) -> int:
+    """Vertical dependency depth of derivatives + n_inner fixed-point
+    iterations: 4 rows for the warp/derivative stencil chain, then per inner
+    iteration 1 (smoothness d3) + 1 (sub-laplacian flux) + 2*n_solver
+    (red-black neighbor sums)."""
+    return 4 + n_inner * (2 + 2 * n_solver)
+
+
+def _exchange_flow_halo(wx, wy, d, axis_name, n_shards):
+    """Pad local (hL, W) flow blocks with d rows from each neighbor.
+
+    Missing neighbors (global top/bottom) are filled with replicated edge
+    rows, which reproduces the reference's clamped borders for the
+    derivative stencils. Returns (hL + 2d, W) blocks.
+    """
+    def pad(x):
+        up, down = None, None
+        if n_shards > 1:
+            # receive the d bottom rows of the shard above / top rows below
+            up = jax.lax.ppermute(x[-d:], axis_name,
+                                  [(i, i + 1) for i in range(n_shards - 1)])
+            down = jax.lax.ppermute(x[:d], axis_name,
+                                    [(i, i - 1) for i in range(1, n_shards)])
+        idx = jax.lax.axis_index(axis_name)
+        top_fill = jnp.broadcast_to(x[:1], (d,) + x.shape[1:])
+        bot_fill = jnp.broadcast_to(x[-1:], (d,) + x.shape[1:])
+        if n_shards > 1:
+            up = jnp.where(idx == 0, top_fill, up)
+            down = jnp.where(idx == n_shards - 1, bot_fill, down)
+        else:
+            up, down = top_fill, bot_fill
+        return jnp.concatenate([up, x, down], axis=0)
+
+    return pad(wx), pad(wy)
+
+
+def _warp_global(src, wx, wy, gy0, gh):
+    """Bilinear warp of the (replicated) full image for local rows whose
+    global row coordinates start at gy0 (may be negative in the halo; they
+    are clamped, matching the replicated-edge-row fill). src (C,H,W);
+    wx/wy (hP, W)."""
+    c, h, w = src.shape
+    hp = wx.shape[0]
+    gy = jnp.clip(gy0 + jnp.arange(hp, dtype=jnp.float32)[:, None],
+                  0.0, float(gh - 1))
+    gx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    xx = gx + wx
+    yy = gy + wy
+    mask = ((xx >= 0) & (xx <= w - 1) & (yy >= 0) & (yy <= h - 1)
+            ).astype(jnp.float32)
+    x0 = jnp.floor(xx)
+    y0 = jnp.floor(yy)
+    dx = xx - x0
+    dy = yy - y0
+    x1 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x2 = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y1 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y2 = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    flat = src.reshape(c, h * w)
+
+    def take(iy_, ix_):
+        idx = (iy_ * w + ix_).reshape(hp * w)
+        return jnp.stack([jnp.take(flat[ch], idx) for ch in range(c)],
+                         0).reshape(c, hp, w)
+
+    out = (take(y1, x1) * (1 - dx) * (1 - dy) + take(y1, x2) * dx * (1 - dy)
+           + take(y2, x1) * (1 - dx) * dy + take(y2, x2) * dx * dy)
+    return out, mask
+
+
+def _local_ref_level_of(wx, wy, im1, im2, *, axis_name, n_shards, gh,
+                        noc, quarter_alpha, hd3, hg3, n_inner, n_solver,
+                        omega):
+    """Shard-local body: runs inside shard_map. wx/wy (hL, W) local rows;
+    im1/im2 (C, H, W) replicated."""
+    hl, w = wx.shape
+    d = halo_depth(n_inner, n_solver)   # always even (4 + n_inner*even)
+    if n_shards > 1:
+        assert d <= hl, (
+            f"halo depth {d} exceeds shard height {hl}; use fewer shards")
+        # sor_coupled_rb's checkerboard uses LOCAL (row+col) parity; the
+        # padded block starts at global row idx*hl - d, which must be even
+        # for every shard so local and global colors coincide (d is even).
+        assert hl % 2 == 0, "shard height must be even for red-black parity"
+    wxp, wyp = _exchange_flow_halo(wx, wy, d, axis_name, n_shards)
+    gy0 = jax.lax.axis_index(axis_name) * hl - d
+
+    # local de-pad of the replicated images to this shard's padded rows:
+    # global rows are clamped into [0, gh) to mirror the replicated halo fill
+    rows = jnp.clip(gy0 + jnp.arange(hl + 2 * d), 0, gh - 1)
+    im1_loc = jnp.take(im1, rows, axis=1)
+    im2_full = im2  # warp gathers globally
+
+    w_im2, mask = _warp_global(im2_full, wxp, wyp, gy0, gh)
+
+    # Out-of-image halo rows must stay replicas of the global edge row so
+    # that every vertical stencil sees the unsharded clamp semantics — for
+    # INTERMEDIATE fields too (the unsharded _d5/_d3 clamp their own input:
+    # replicating only the raw inputs breaks cascaded stencils like
+    # iyy = d5(iy) because iy's halo is a derivative of replicas, not a
+    # replica of iy's edge row).
+    grow_v = gy0 + jnp.arange(hl + 2 * d)
+    oob_map = jnp.clip(grow_v, 0, gh - 1) - gy0
+
+    def _rep(x):
+        return jnp.take(x, oob_map, axis=-2)
+
+    # get_derivatives with the intermediate re-replication: only iy needs it
+    # (ix/iz halo rows are replicas already; horizontal ops preserve that)
+    tmp = 0.5 * (im1_loc + w_im2)
+    iz = w_im2 - im1_loc
+    ix = tv._d5(tmp, -1)
+    iy = _rep(tv._d5(tmp, -2))
+    i_fields = (ix, iy, iz, tv._d5(ix, -1), tv._d5(ix, -2),
+                tv._d5(iy, -2), tv._d5(iz, -1), tv._d5(iz, -2))
+
+    # the reference's vertical boundary flows entirely through zeroed
+    # smoothness weights: wv[r] couples rows (r, r+1), so it must vanish at
+    # the global last row AND at every out-of-image halo row (killing the
+    # up-coupling into global row 0 exactly like the zero-fill shift does
+    # in the unsharded solver)
+    grow = grow_v[:, None]
+    not_last = ((grow >= 0) & (grow < gh - 1)).astype(jnp.float32)
+
+    def inner(_, carry):
+        du, dv, uu, vv = carry
+        # du/dv evolve freely in the out-of-image halo; re-replicate before
+        # the d3 stencils so uu/vv keep the clamped-edge semantics
+        uu = _rep(uu)
+        vv = _rep(vv)
+        wh, wv = tv.compute_smoothness(uu, vv, quarter_alpha)
+        wv = wv * not_last
+        if noc == 1:
+            a11, a12, a22, b1, b2 = tv.compute_data_gray(
+                mask, du, dv, i_fields, hd3, hg3)
+        else:
+            a11, a12, a22, b1, b2 = tv.compute_data_rgb(
+                mask, du, dv, i_fields, hd3, hg3)
+        b1 = tv.sub_laplacian(b1, wxp, wh, wv)
+        b2 = tv.sub_laplacian(b2, wyp, wh, wv)
+        du, dv = tv.sor_coupled_rb(du, dv, a11, a12, a22, b1, b2, wh, wv,
+                                   n_solver, omega)
+        return du, dv, wxp + du, wyp + dv
+
+    zero = jnp.zeros_like(wxp)
+    _, _, uu, vv = jax.lax.fori_loop(0, n_inner, inner,
+                                     (zero, zero, wxp, wyp))
+    return uu[d:d + hl], vv[d:d + hl]
+
+
+def tv_refine_spatial(mesh: Mesh, flow: jnp.ndarray, im1: jnp.ndarray,
+                      im2: jnp.ndarray, *, alpha, gamma, delta, n_inner,
+                      n_solver, omega, axis_name: str = "rows"):
+    """Row-sharded flow TV refinement over `mesh` (1-D, axis `axis_name`).
+
+    flow (H, W, 2); im1/im2 (C, H, W) replicated on every shard (images are
+    small next to the iterated fields; the warp needs global access). H must
+    divide by the mesh size. Returns the refined (H, W, 2) flow, matching
+    the unsharded ops.tv.ref_level_of to float noise.
+    """
+    n_shards = mesh.shape[axis_name]
+    noc = im1.shape[0]
+    gh = im1.shape[1]
+    kw = dict(axis_name=axis_name, n_shards=n_shards, gh=gh, noc=noc,
+              quarter_alpha=0.25 * alpha, hd3=delta * 0.5 / 3.0,
+              hg3=gamma * 0.5 / 3.0, n_inner=n_inner, n_solver=n_solver,
+              omega=omega)
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        partial(_local_ref_level_of, **kw),
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None), P(None, None, None),
+                  P(None, None, None)),
+        out_specs=(P(axis_name, None), P(axis_name, None)),
+    )
+    uu, vv = fn(flow[:, :, 0], flow[:, :, 1], im1, im2)
+    return jnp.stack([uu, vv], axis=-1)
