@@ -11,9 +11,10 @@ Usage (reference: README.md:46-86, run_dense.cpp:186-295):
 
 Modes: run_OF_INT (flow, gray), run_OF_RGB (flow, color), run_DE_INT /
 run_DE_RGB (depth from stereo, .pfm output). The reference's compile-time
-SELECTMODE/SELECTCHANNEL become this runtime mode argument. An extra optional
-`--init-flow FILE` exposes the reference's commented-out warm-start input
-(run_dense.cpp:356-379) as a real feature.
+SELECTMODE/SELECTCHANNEL become this runtime mode argument. Extra optional
+flags (extensions): `--init-flow FILE` exposes the reference's commented-out
+warm-start input (run_dense.cpp:356-379) as a real feature; `--quiet`
+silences the op-point form's default verbosity 2.
 
 Verbosity: 0 silent, 1 total flow time, 2 adds per-stage timings
 (reference: oflow.cpp:333-337, run_dense.cpp:314-321, 347-353, 424-429);
@@ -22,6 +23,7 @@ timings are host-side perf_counter spans around block_until_ready'd stages.
 
 from __future__ import annotations
 
+import dataclasses
 import sys
 import time
 
@@ -48,7 +50,10 @@ def parse_args(argv):
         k = rest.index("--init-flow")
         init_flow_path = rest[k + 1]
         del rest[k:k + 2]
-    return mode, nop, noc, img1, img2, outfile, rest, init_flow_path
+    quiet = "--quiet" in rest
+    if quiet:
+        rest.remove("--quiet")
+    return mode, nop, noc, img1, img2, outfile, rest, init_flow_path, quiet
 
 
 def build_params(width_org, nop, noc, rest) -> DISParams:
@@ -72,13 +77,16 @@ def build_params(width_org, nop, noc, rest) -> DISParams:
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     t0 = time.perf_counter()
-    mode, nop, noc, img1p, img2p, outfile, rest, init_path = parse_args(argv)
+    mode, nop, noc, img1p, img2p, outfile, rest, init_path, quiet = \
+        parse_args(argv)
 
     img1 = io.load_image(img1p, channels=noc)
     img2 = io.load_image(img2p, channels=noc)
     h_org, w_org = img1.shape[1], img1.shape[2]
 
     params = build_params(w_org, nop, noc, rest)
+    if quiet:  # extension: silence the reference's default verbosity-2
+        params = dataclasses.replace(params, verbosity=0)
     verb = params.verbosity
 
     # divisibility padding (run_dense.cpp:299-311)

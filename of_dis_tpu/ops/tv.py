@@ -78,6 +78,95 @@ def warp_image(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray
     return out, mask
 
 
+def _warp_coeffs(wx: jnp.ndarray, wy: jnp.ndarray):
+    """Bilinear warp sampling coefficients for (..., H, W) flow fields:
+    corner indices (clamped), fractional weights, and the in-bounds mask
+    (image_warp, opticalflow_aux.c:33-75)."""
+    h, w = wx.shape[-2], wx.shape[-1]
+    # integer iota + convert: Mosaic only lowers integer tpu.iota
+    gy = jax.lax.broadcasted_iota(jnp.int32, wx.shape,
+                                  wx.ndim - 2).astype(jnp.float32)
+    gx = jax.lax.broadcasted_iota(jnp.int32, wx.shape,
+                                  wx.ndim - 1).astype(jnp.float32)
+    xx = gx + wx
+    yy = gy + wy
+    mask = ((xx >= 0) & (xx <= w - 1) & (yy >= 0) & (yy <= h - 1)
+            ).astype(jnp.float32)
+    x0 = jnp.floor(xx)
+    y0 = jnp.floor(yy)
+    dx = xx - x0
+    dy = yy - y0
+    x1 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x2 = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y1 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y2 = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    return x1, x2, y1, y2, dx, dy, mask
+
+
+def _warp_coeffs_pallas(wx: jnp.ndarray, wy: jnp.ndarray, bb: int):
+    """The warp's index/weight arithmetic as one fused Pallas kernel.
+
+    In XLA this ~15-op elementwise chain costs several ms at DIS level sizes
+    (per-op overhead on small fields); fused in VMEM it is negligible.
+    wx/wy (B, H, W)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w = wx.shape
+
+    def kernel(wx_ref, wy_ref, x1_ref, x2_ref, y1_ref, y2_ref, dx_ref,
+               dy_ref, mask_ref):
+        x1, x2, y1, y2, dx, dy, mask = _warp_coeffs(wx_ref[:], wy_ref[:])
+        x1_ref[:] = x1
+        x2_ref[:] = x2
+        y1_ref[:] = y1
+        y2_ref[:] = y2
+        dx_ref[:] = dx
+        dy_ref[:] = dy
+        mask_ref[:] = mask
+
+    fld = pl.BlockSpec((bb, h, w), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    i32 = jax.ShapeDtypeStruct(wx.shape, jnp.int32)
+    f32 = jax.ShapeDtypeStruct(wx.shape, jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        out_shape=(i32, i32, i32, i32, f32, f32, f32),
+        in_specs=[fld, fld],
+        out_specs=(fld,) * 7,
+    )(wx, wy)
+
+
+def warp_image_batched(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
+                       use_pallas: bool, bb: int):
+    """Batched bilinear backward warp: src (B,C,H,W); wx/wy (B,H,W).
+
+    Index/weight arithmetic optionally fused in Pallas; the four corner
+    fetches stay XLA 2D advanced-index gathers (the fast gather form)."""
+    if use_pallas:
+        x1, x2, y1, y2, dx, dy, mask = _warp_coeffs_pallas(wx, wy, bb)
+    else:
+        x1, x2, y1, y2, dx, dy, mask = _warp_coeffs(wx, wy)
+
+    c = src.shape[1]
+
+    def one(s, iy_, ix_):
+        # per-channel 2D gathers: the extra leading C dim switches XLA:TPU
+        # to a ~10x slower gather lowering
+        return jnp.stack([s[ch][iy_, ix_] for ch in range(c)], 0)
+
+    v11 = jax.vmap(one)(src, y1, x1)
+    v12 = jax.vmap(one)(src, y1, x2)
+    v21 = jax.vmap(one)(src, y2, x1)
+    v22 = jax.vmap(one)(src, y2, x2)
+    dxe = dx[:, None]
+    dye = dy[:, None]
+    out = (v11 * (1 - dxe) * (1 - dye) + v12 * dxe * (1 - dye)
+           + v21 * (1 - dxe) * dye + v22 * dxe * dye)
+    return out, mask
+
+
 # ----------------------------------------------------- derivative filters
 
 # When True, the shift helpers below are being traced inside a Pallas TPU
@@ -596,14 +685,16 @@ def ref_level_of_batched(wx, wy, im1, im2, *, alpha, gamma, delta, n_inner,
     quarter_alpha = 0.25 * alpha
     hd3 = delta * 0.5 / 3.0
     hg3 = gamma * 0.5 / 3.0
-    w_im2, mask = jax.vmap(warp_image)(im2, wx, wy)
+    pallas_ok = _use_pallas(h, w, noc)
+    bb = _pick_bb(b, h, w, noc) if pallas_ok else 1
+    w_im2, mask = warp_image_batched(im2, wx, wy, pallas_ok, bb)
     I = jax.vmap(get_derivatives)(im1, w_im2)      # 8 x (B,C,H,W)
     kw = dict(noc=noc, quarter_alpha=quarter_alpha, hd3=hd3, hg3=hg3,
               n_inner=n_inner, n_solver=n_solver, omega=omega)
-    if _use_pallas(h, w, noc):
+    if pallas_ok:
         i_stack = jnp.stack(I, 0).transpose(0, 2, 1, 3, 4)   # (8,C,B,H,W)
         return _of_inner_pallas_batched(
-            wx, wy, mask, i_stack, bb=_pick_bb(b, h, w, noc), **kw)
+            wx, wy, mask, i_stack, bb=bb, **kw)
     i_t = [f.transpose(1, 0, 2, 3) for f in I]               # (C,B,H,W)
     return _of_inner_loop(wx, wy, mask, i_t, **kw)
 
@@ -652,14 +743,16 @@ def ref_level_de_batched(wx, im1, im2, *, alpha, gamma, delta, n_inner,
     hd3 = delta * 0.5 / 3.0
     hg3 = gamma * 0.5 / 3.0
     wy0 = jnp.zeros_like(wx)
-    w_im2, mask = jax.vmap(warp_image)(im2, wx, wy0)
+    pallas_ok = _use_pallas(h, w, noc)
+    bb = _pick_bb(b, h, w, noc) if pallas_ok else 1
+    w_im2, mask = warp_image_batched(im2, wx, wy0, pallas_ok, bb)
     I = jax.vmap(get_derivatives)(im1, w_im2)
     kw = dict(noc=noc, camlr=camlr, quarter_alpha=quarter_alpha, hd3=hd3,
               hg3=hg3, n_inner=n_inner, n_solver=n_solver, omega=omega)
-    if _use_pallas(h, w, noc):
+    if pallas_ok:
         i_stack = jnp.stack(I, 0).transpose(0, 2, 1, 3, 4)
         return _de_inner_pallas_batched(
-            wx, mask, i_stack, bb=_pick_bb(b, h, w, noc), **kw)
+            wx, mask, i_stack, bb=bb, **kw)
     i_t = [f.transpose(1, 0, 2, 3) for f in I]
     return _de_inner_loop(wx, mask, i_t, **kw)
 

@@ -21,3 +21,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent XLA compile cache: full-pipeline CPU compiles dominate suite
+# time; repeat runs (the common case for the CI driver) hit the cache
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -41,7 +41,7 @@ def _run(mode, img1, img2, out, args):
 @pytest.mark.parametrize("op,budget", [(1, 1e-4), (2, 0.01)])
 def test_of_int_op_points(tmp_path, op, budget):
     out = str(tmp_path / "out.flo")
-    _run("run_OF_INT", "a.png", "b.png", out, [str(op)])
+    _run("run_OF_INT", "a.png", "b.png", out, [str(op), "--quiet"])
     ratio = _epe_ratio(io.read_flo(out),
                        io.read_flo(os.path.join(G, f"of_int_op{op}.flo")))
     assert ratio < budget, ratio
@@ -49,7 +49,7 @@ def test_of_int_op_points(tmp_path, op, budget):
 
 def test_of_rgb_op2(tmp_path):
     out = str(tmp_path / "out.flo")
-    _run("run_OF_RGB", "ac.png", "bc.png", out, ["2"])
+    _run("run_OF_RGB", "ac.png", "bc.png", out, ["2", "--quiet"])
     ratio = _epe_ratio(io.read_flo(out),
                        io.read_flo(os.path.join(G, "of_rgb_op2.flo")))
     assert ratio < 0.01, ratio
@@ -57,7 +57,7 @@ def test_of_rgb_op2(tmp_path):
 
 def test_de_int_op2(tmp_path):
     out = str(tmp_path / "out.pfm")
-    _run("run_DE_INT", "a.png", "bs.png", out, ["2"])
+    _run("run_DE_INT", "a.png", "bs.png", out, ["2", "--quiet"])
     ours = io.read_pfm(out)
     ref = io.read_pfm(os.path.join(G, "de_int_op2.pfm"))
     ratio = np.abs(ours - ref).mean() / np.abs(ref).mean()
@@ -66,7 +66,7 @@ def test_de_int_op2(tmp_path):
 
 def test_de_rgb_op2(tmp_path):
     out = str(tmp_path / "out.pfm")
-    _run("run_DE_RGB", "asc.png", "bsc.png", out, ["2"])
+    _run("run_DE_RGB", "asc.png", "bsc.png", out, ["2", "--quiet"])
     ours = io.read_pfm(out)
     ref = io.read_pfm(os.path.join(G, "de_rgb_op2.pfm"))
     ratio = np.abs(ours - ref).mean() / np.abs(ref).mean()
