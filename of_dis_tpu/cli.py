@@ -10,8 +10,10 @@ Usage (reference: README.md:46-86, run_dense.cpp:186-295):
       tv_solverit tv_sor verbosity                                 # 20 params
 
 Modes: run_OF_INT (flow, gray), run_OF_RGB (flow, color), run_DE_INT /
-run_DE_RGB (depth from stereo, .pfm output). The reference's compile-time
-SELECTMODE/SELECTCHANNEL become this runtime mode argument. Extra optional
+run_DE_RGB (depth from stereo, .pfm output); run_OF_GRD / run_DE_GRD use
+gradient-magnitude input (the reference's SELECTCHANNEL==2 path exists at
+run_dense.cpp:139-148 but no CMake target builds it). The reference's
+compile-time SELECTMODE/SELECTCHANNEL become this runtime mode argument. Extra optional
 flags (extensions): `--init-flow FILE` exposes the reference's commented-out
 warm-start input (run_dense.cpp:356-379) as a real feature; `--quiet`
 silences the op-point form's default verbosity 2.
@@ -39,8 +41,8 @@ from of_dis_tpu.utils import io
 
 def parse_args(argv):
     mode = argv[0]
-    assert mode in ("run_OF_INT", "run_OF_RGB", "run_DE_INT", "run_DE_RGB"), (
-        f"unknown mode {mode}")
+    assert mode in ("run_OF_INT", "run_OF_RGB", "run_DE_INT", "run_DE_RGB",
+                    "run_OF_GRD", "run_DE_GRD"), f"unknown mode {mode}"
     nop = 2 if "OF" in mode else 1
     noc = 3 if "RGB" in mode else 1
     img1, img2, outfile = argv[1], argv[2], argv[3]
@@ -82,6 +84,11 @@ def main(argv=None):
 
     img1 = io.load_image(img1p, channels=noc)
     img2 = io.load_image(img2p, channels=noc)
+    if "GRD" in mode:
+        # gradient-magnitude input (the reference's SELECTCHANNEL==2 path,
+        # run_dense.cpp:139-148 — present in its source but never built)
+        img1 = np.asarray(pyramid.gradient_magnitude(jnp.asarray(img1)))
+        img2 = np.asarray(pyramid.gradient_magnitude(jnp.asarray(img2)))
     h_org, w_org = img1.shape[1], img1.shape[2]
 
     params = build_params(w_org, nop, noc, rest)

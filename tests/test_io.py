@@ -47,3 +47,25 @@ def test_pfm_roundtrip_and_layout(tmp_path):
     np.testing.assert_array_equal(body.reshape(5, 9), -depth[::-1])
     back = io.read_pfm(p)
     np.testing.assert_array_equal(back, depth)
+
+
+def test_gradient_magnitude_cli_mode(tmp_path):
+    """run_OF_GRD: the reference's dormant SELECTCHANNEL==2 input mode."""
+    import cv2
+    import numpy as np
+    from of_dis_tpu import cli
+    from of_dis_tpu.utils import io as uio
+    rng = np.random.default_rng(3)
+    big = cv2.GaussianBlur((rng.random((160, 200)) * 255).astype(np.float32),
+                           (9, 9), 2.5)
+    a = big[10:138, 10:170]
+    m = np.float32([[1, 0, 2.0], [0, 1, 1.0]])
+    b = cv2.warpAffine(big, m, (200, 160))[10:138, 10:170]
+    p1, p2 = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    cv2.imwrite(p1, a.astype(np.uint8))
+    cv2.imwrite(p2, b.astype(np.uint8))
+    out = str(tmp_path / "o.flo")
+    cli.main(["run_OF_GRD", p1, p2, out, "1", "--quiet"])
+    f = uio.read_flo(out)
+    med = np.median(f[20:-20, 20:-20].reshape(-1, 2), axis=0)
+    assert abs(med[0] - 2.0) < 0.5 and abs(med[1] - 1.0) < 0.5, med
