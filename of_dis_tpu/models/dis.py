@@ -6,16 +6,17 @@ Orchestrates the per-scale stages (reference: oflow.cpp:31-338):
     -> densification (with optional forward-backward merge) -> TV refinement.
 
 The scale loop is Python (shapes differ per level); each full pipeline
-specialization is jit-compiled once per (shape, params) and cached. Batch over
-frame pairs with `dis_flow_batched` (vmap) and shard it over a device mesh via
-of_dis_tpu.parallel.
+specialization is jit-compiled once per (shape, params) and cached. The core
+is natively batched over frame pairs (`dis_flow_batched`); shard the batch
+axis over a device mesh via of_dis_tpu.parallel.
 
 Differences from the reference by design (TPU-first):
-  - patches are a batch dimension in one fused solver, not objects/OpenMP
-    threads (patchgrid.cpp:109-141),
-  - densification is a deterministic scatter-add (the reference's optional
-    OpenMP path data-races, patchgrid.cpp:220-222),
-  - TV's SOR solver sweeps red-black instead of raster (see ops/tv.py).
+  - patches are a lane-axis batch dimension in one fused solver, not
+    objects/OpenMP threads (patchgrid.cpp:109-141),
+  - densification is a deterministic per-pixel gather (the reference's
+    optional OpenMP scatter path data-races, patchgrid.cpp:220-222),
+  - TV's SOR solver sweeps red-black instead of raster, fused into a Pallas
+    kernel on TPU (see ops/tv.py).
 """
 
 from __future__ import annotations
@@ -219,14 +220,22 @@ def dis_flow_timed(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
 
       TIME (Sc: i, #p: n, pconst, pinit, poptim, cflow, tvopt, total): ...
 
-    Timings are host-side perf_counter spans around block_until_ready'd
-    stages (SURVEY.md §5 tracing contract)."""
+    Timings are host-side perf_counter spans around synchronized stages
+    (SURVEY.md §5 tracing contract). Synchronization fetches one scalar that
+    depends on the stage output: on the tunneled-TPU (axon) platform
+    block_until_ready does not actually block."""
     import time as _time
+
+    def _sync(tree):
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        np_val = jnp.ravel(leaf)[0]
+        import numpy as _np
+        _np.asarray(np_val)
 
     pad = params.p_samp_s
     ims_a, dxs_a, dys_a = pyramid.build_pyramid(im_a, params.sc_f, pad)
     ims_b, dxs_b, dys_b = pyramid.build_pyramid(im_b, params.sc_f, pad)
-    jax.block_until_ready(ims_a)
+    _sync(ims_a)
 
     def clock():
         return _time.perf_counter()
@@ -245,7 +254,7 @@ def dis_flow_timed(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
         if params.usefbcon:
             tpl_bw = patch_solver.extract_templates(spec_bw, params, ib, dxb,
                                                     dyb)
-        jax.block_until_ready(tpl_fw)
+        _sync(tpl_fw)
         t_pconst = clock() - t0
 
         t0 = clock()
@@ -264,7 +273,7 @@ def dis_flow_timed(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
             else:
                 p_init_bw = patch_solver.init_from_coarser(spec_bw, params,
                                                            flow_bw)
-        jax.block_until_ready(p_init)
+        _sync(p_init)
         t_pinit = clock() - t0
 
         t0 = clock()
@@ -273,7 +282,7 @@ def dis_flow_timed(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
         if params.usefbcon:
             res_bw = patch_solver.optimize_level(spec_bw, params, ia, tpl_bw,
                                                  p_init_bw)
-        jax.block_until_ready(res_fw)
+        _sync(res_fw)
         t_poptim = clock() - t0
 
         t0 = clock()
@@ -282,7 +291,7 @@ def dis_flow_timed(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
         if params.usefbcon and sl > params.sc_l:
             flow_bw = densify.aggregate_flow_dense(spec_bw, params, res_bw,
                                                    compl_res=res_fw)
-        jax.block_until_ready(flow)
+        _sync(flow)
         t_cflow = clock() - t0
 
         t0 = clock()
@@ -292,7 +301,7 @@ def dis_flow_timed(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
             if params.usefbcon and sl > params.sc_l:
                 flow_bw = _tv_refine(flow_bw[None], ib[None], ia[None],
                                      spec_bw, params, camlr=1)[0]
-            jax.block_until_ready(flow)
+            _sync(flow)
         t_tvopt = clock() - t0
 
         tot = t_pconst + t_pinit + t_poptim + t_cflow + t_tvopt

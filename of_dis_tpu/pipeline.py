@@ -1,0 +1,158 @@
+"""Streaming throughput pipeline: directories of frames -> .flo files.
+
+The production serving mode (BASELINE.md config 5): consecutive frame pairs
+of a sequence are batched, decoded on host threads (the native C++ batch
+decoder when built), double-buffered into device memory while the previous
+batch computes, and written out asynchronously. The device never waits on
+the host for steady-state batches.
+
+Usage:
+  python -m of_dis_tpu.pipeline FRAME_DIR OUT_DIR [--op N] [--batch B]
+      [--mode run_OF_INT|run_OF_RGB] [--ext .flo]
+
+Frames are sorted lexicographically; pair t produces OUT_DIR/<frame_t>.flo.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from queue import Queue
+from typing import List, Sequence
+
+import numpy as np
+
+
+def _decode_batch(paths: Sequence[str], channels: int) -> np.ndarray:
+    """(B, C, H, W) float32 via the native threaded decoder, else cv2/PIL."""
+    try:
+        from of_dis_tpu.native import io as native_io
+        return native_io.decode_batch(paths, channels)
+    except Exception:
+        from of_dis_tpu.utils import io as uio
+        return np.stack([uio.load_image(p, channels) for p in paths])
+
+
+def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
+                 batch: int = 16, mode: str = "run_OF_INT",
+                 verbose: bool = True) -> int:
+    """Stream a frame directory through the batched DIS pipeline.
+
+    Returns the number of frame pairs processed. Batches overlap: host
+    decode of batch k+1 and .flo writes of batch k-1 run concurrently with
+    device compute of batch k.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from of_dis_tpu.models import dis
+    from of_dis_tpu.ops import pyramid
+    from of_dis_tpu.params import op_point_params, pad_amounts
+    from of_dis_tpu.utils import io as uio
+
+    noc = 3 if "RGB" in mode else 1
+    frames = sorted(
+        os.path.join(frame_dir, f) for f in os.listdir(frame_dir)
+        if f.lower().endswith((".png", ".pgm", ".ppm", ".jpg", ".jpeg")))
+    if len(frames) < 2:
+        raise ValueError(f"{frame_dir}: need at least 2 frames")
+    os.makedirs(out_dir, exist_ok=True)
+
+    first = _decode_batch(frames[:1], noc)
+    h_org, w_org = first.shape[2], first.shape[3]
+    params = op_point_params(w_org, op_point, nop=2, noc=noc, verbosity=0)
+    top, _, left, _ = pad_amounts(w_org, h_org, params.sc_f)
+
+    pairs = list(zip(frames[:-1], frames[1:]))
+    batches: List[List] = [pairs[i:i + batch]
+                           for i in range(0, len(pairs), batch)]
+
+    pad_fn = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))
+
+    def host_decode(pair_batch):
+        a = _decode_batch([p[0] for p in pair_batch], noc)
+        b = _decode_batch([p[1] for p in pair_batch], noc)
+        return a, b
+
+    # prefetch thread: decode batch k+1 while the device runs batch k
+    q: Queue = Queue(maxsize=2)
+
+    def producer():
+        for pb in batches:
+            q.put((pb, host_decode(pb)))
+        q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    writer = ThreadPoolExecutor(max_workers=4)
+    full_w = full_h = None
+    fn = None
+    n_done = 0
+    t0 = time.perf_counter()
+    pending = []  # (pair_batch, device_output) in flight
+
+    def drain(item):
+        nonlocal n_done
+        pair_batch, out = item
+        flows = np.asarray(out)  # forces device completion
+        for k, (f1, _) in enumerate(pair_batch):
+            fl = flows[k, top:top + h_org, left:left + w_org]
+            name = os.path.splitext(os.path.basename(f1))[0] + ".flo"
+            writer.submit(uio.write_flo, os.path.join(out_dir, name), fl)
+        n_done += len(pair_batch)
+
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        pair_batch, (a_np, b_np) = item
+        nb = len(pair_batch)
+        if nb < batch:  # ragged tail: pad to the compiled batch size
+            repa = np.repeat(a_np[-1:], batch - nb, axis=0)
+            a_np = np.concatenate([a_np, repa])
+            b_np = np.concatenate([b_np, np.repeat(b_np[-1:], batch - nb,
+                                                   axis=0)])
+        im_a = pad_fn(jnp.asarray(a_np))
+        im_b = pad_fn(jnp.asarray(b_np))
+        if fn is None:
+            full_h, full_w = int(im_a.shape[2]), int(im_a.shape[3])
+            fn = lambda x, y: dis.dis_flow_batched(x, y, params, full_w,
+                                                   full_h)
+        out = fn(im_a, im_b)[:nb]
+        pending.append((pair_batch, out))
+        if len(pending) > 1:     # drain all but the in-flight batch
+            drain(pending.pop(0))
+    while pending:
+        drain(pending.pop(0))
+    writer.shutdown(wait=True)
+    dt = time.perf_counter() - t0
+    if verbose:
+        print(f"{n_done} pairs in {dt:.2f}s -> {n_done / dt:.1f} pairs/s")
+    return n_done
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    kw = {}
+    if "--op" in argv:
+        k = argv.index("--op")
+        kw["op_point"] = int(argv[k + 1])
+        del argv[k:k + 2]
+    if "--batch" in argv:
+        k = argv.index("--batch")
+        kw["batch"] = int(argv[k + 1])
+        del argv[k:k + 2]
+    if "--mode" in argv:
+        k = argv.index("--mode")
+        kw["mode"] = argv[k + 1]
+        del argv[k:k + 2]
+    frame_dir, out_dir = argv[:2]
+    run_pipeline(frame_dir, out_dir, **kw)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

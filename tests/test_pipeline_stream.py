@@ -1,0 +1,40 @@
+"""Streaming directory->flo pipeline (double-buffered batched serving)."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from of_dis_tpu import pipeline
+from of_dis_tpu.utils import io as uio
+
+
+def test_stream_pipeline(tmp_path):
+    frame_dir = tmp_path / "frames"
+    out_dir = tmp_path / "out"
+    frame_dir.mkdir()
+    rng = np.random.default_rng(0)
+    big = cv2.GaussianBlur((rng.random((140, 180)) * 255).astype(np.float32),
+                           (9, 9), 2.5)
+    h, w = 96, 128
+    n_frames = 5
+    for t in range(n_frames):
+        m = np.float32([[1, 0, 1.5 * t], [0, 1, 0.5 * t]])
+        f = cv2.warpAffine(big, m, (180, 140))[20:20 + h, 20:20 + w]
+        cv2.imwrite(str(frame_dir / f"frame_{t:04d}.png"),
+                    np.clip(f, 0, 255).astype(np.uint8))
+
+    # batch=2 with 4 pairs exercises the ragged tail path
+    n = pipeline.run_pipeline(str(frame_dir), str(out_dir), op_point=1,
+                              batch=2, verbose=False)
+    assert n == n_frames - 1
+    outs = sorted(os.listdir(out_dir))
+    assert outs == [f"frame_{t:04d}.flo" for t in range(n_frames - 1)]
+    for t in range(n_frames - 1):
+        fl = uio.read_flo(str(out_dir / f"frame_{t:04d}.flo"))
+        assert fl.shape == (h, w, 2)
+        inner = fl[16:-16, 16:-16]
+        med = np.median(inner.reshape(-1, 2), axis=0)
+        assert abs(med[0] - 1.5) < 0.4 and abs(med[1] - 0.5) < 0.4, (t, med)
