@@ -22,7 +22,7 @@ Differences from the reference by design (TPU-first):
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ used transparently for large payloads.
 from __future__ import annotations
 
 import struct
-from typing import Optional
+
 
 import numpy as np
 

@@ -69,3 +69,28 @@ def test_gradient_magnitude_cli_mode(tmp_path):
     f = uio.read_flo(out)
     med = np.median(f[20:-20, 20:-20].reshape(-1, 2), axis=0)
     assert abs(med[0] - 2.0) < 0.5 and abs(med[1] - 1.0) < 0.5, med
+
+
+def test_cli_init_flow(tmp_path):
+    """--init-flow extension: warm-start a run from a prior .flo file."""
+    import cv2
+    import numpy as np
+    from of_dis_tpu import cli
+    from of_dis_tpu.utils import io as uio
+    rng = np.random.default_rng(7)
+    big = cv2.GaussianBlur((rng.random((160, 200)) * 255).astype(np.float32),
+                           (9, 9), 2.5)
+    a = big[10:138, 10:170]
+    b = cv2.warpAffine(big, np.float32([[1, 0, 2.0], [0, 1, 1.0]]),
+                       (200, 160))[10:138, 10:170]
+    p1, p2 = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    cv2.imwrite(p1, a.astype(np.uint8))
+    cv2.imwrite(p2, b.astype(np.uint8))
+    first = str(tmp_path / "first.flo")
+    cli.main(["run_OF_INT", p1, p2, first, "1", "--quiet"])
+    warm = str(tmp_path / "warm.flo")
+    cli.main(["run_OF_INT", p1, p2, warm, "1", "--quiet",
+              "--init-flow", first])
+    f = uio.read_flo(warm)
+    med = np.median(f[20:-20, 20:-20].reshape(-1, 2), axis=0)
+    assert abs(med[0] - 2.0) < 0.5 and abs(med[1] - 1.0) < 0.5, med
