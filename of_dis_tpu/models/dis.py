@@ -89,8 +89,8 @@ def _dis_flow_core(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
         else:
             p_init = jax.vmap(lambda f: patch_solver.init_from_coarser(
                 spec, params, f))(flow)
-        res_fw = jax.vmap(lambda b, t, p: patch_solver.optimize_level(
-            spec, params, b, t, p))(ib, tpl_fw, p_init)
+        res_fw = patch_solver.optimize_level_batched(spec, params, ib,
+                                                     tpl_fw, p_init)
 
         res_bw = None
         if params.usefbcon:
@@ -102,19 +102,28 @@ def _dis_flow_core(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
             else:
                 p_init_bw = jax.vmap(lambda f: patch_solver.init_from_coarser(
                     spec_bw, params, f))(flow_bw)
-            res_bw = jax.vmap(lambda a, t, p: patch_solver.optimize_level(
-                spec_bw, params, a, t, p))(ia, tpl_bw, p_init_bw)
+            res_bw = patch_solver.optimize_level_batched(spec_bw, params, ia,
+                                                         tpl_bw, p_init_bw)
 
-        if res_bw is not None:
-            flow = jax.vmap(lambda r, c: densify.aggregate_flow_dense(
-                spec, params, r, compl_res=c))(res_fw, res_bw)
-        else:
-            flow = jax.vmap(lambda r: densify.aggregate_flow_dense(
-                spec, params, r))(res_fw)
+        def _densify(sp, res, compl):
+            # vmap over explicit fields (the batched result's `iters` is a
+            # shared scalar, not a per-pair leaf)
+            one = patch_solver.PatchResult
+            if compl is not None:
+                return jax.vmap(lambda p, pt, pw, cp, cpt, cpw:
+                                densify.aggregate_flow_dense(
+                                    sp, params, one(p, pt, pw, res.iters),
+                                    compl_res=one(cp, cpt, cpw, res.iters)))(
+                    res.p, res.pt, res.pweight, compl.p, compl.pt,
+                    compl.pweight)
+            return jax.vmap(lambda p, pt, pw: densify.aggregate_flow_dense(
+                sp, params, one(p, pt, pw, res.iters)))(
+                res.p, res.pt, res.pweight)
+
+        flow = _densify(spec, res_fw, res_bw)
         if params.usefbcon and sl > params.sc_l:
             # backward aggregation skipped at the last scale (oflow.cpp:266)
-            flow_bw = jax.vmap(lambda r, c: densify.aggregate_flow_dense(
-                spec_bw, params, r, compl_res=c))(res_bw, res_fw)
+            flow_bw = _densify(spec_bw, res_bw, res_fw)
 
         if params.usetvref:
             flow = _tv_refine(flow, ia, ib, spec, params, camlr=0)

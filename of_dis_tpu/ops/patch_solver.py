@@ -182,52 +182,122 @@ def _shifted_planes(im: jnp.ndarray, psz: int):
     return (hi.reshape(w1 * c * hp, wp), lo.reshape(w1 * c * hp, wp))
 
 
-def extract_bilinear_mxu(planes, pts: jnp.ndarray, psz: int, pad: int,
-                         c: int, hp: int, wp: int) -> jnp.ndarray:
+def _use_pallas_bilerp() -> bool:
+    import os
+    if os.environ.get("OF_DIS_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _bilerp_select_pure(t, sy, ry, rx, psz, c, hp):
+    """Row selection + bilinear lerps after the column one-hot matmul.
+
+    t (B, w1, c, hp, n); sy/ry/rx (B, n). Returns (B, D, n), D=(j,i,c).
+    Row selection + the y-lerp fuse as a one-hot contraction over rows
+    (a take_along_axis gather here costs ~15x the MXU matmul on TPU: the
+    per-lane sublane gather serializes).
+    dy[j, y, n] = ry*[y==sy+j+1] + (1-ry)*[y==sy+j]
+    """
+    b, w1, _, _, n = t.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, psz, hp, n), 2)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (b, psz, hp, n), 1)
+    tgt = sy[:, None, None, :] + jj
+    ryb = ry[:, None, None, :]
+    dy = ((rows == tgt + 1).astype(jnp.float32) * ryb
+          + (rows == tgt).astype(jnp.float32) * (1.0 - ryb))
+    # gy[b, s, c, j, n] = sum_y t[b, s, c, y, n] * dy[b, j, y, n]
+    gy = (t[:, :, :, None, :, :] * dy[:, None, None, :, :, :]).sum(axis=4)
+    # x-bilinear across the shift axis (patch.cpp:361-375)
+    rxb = rx[:, None, None, None, :]
+    px = rxb * gy[:, 1:] + (1.0 - rxb) * gy[:, :-1]   # (B, P_i, C, P_j, N)
+    patch = jnp.transpose(px, (0, 3, 1, 2, 4))        # (B, P_j, P_i, C, N)
+    return patch.reshape(b, psz * psz * c, n)
+
+
+def _bilerp_select_pallas(t, sy, ry, rx, psz, c, hp):
+    """Fused Pallas version of _bilerp_select_pure: the dense one-hot
+    row-reduce materializes a (B, w1, c, psz, hp, n) product in XLA (~half
+    of each Gauss-Newton iteration's time); in VMEM it fuses away."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, w1, _, _, n = t.shape
+    bb = 1
+    for cand in (8, 4, 2, 1):
+        if b % cand == 0 and cand * w1 * c * hp * n * 4 < 8 * 1024 * 1024:
+            bb = cand
+            break
+
+    def kernel(t_ref, sy_ref, ry_ref, rx_ref, out_ref):
+        tv_ = t_ref[:]                              # (bb, w1, c, hp, n)
+        sy_ = sy_ref[:][:, 0, :]                    # (bb, n)
+        ry_ = ry_ref[:][:, :, None, :]              # (bb, 1, 1, n)
+        rx_ = rx_ref[:][:, :, None, :]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bb, hp, n), 1)
+        for j in range(psz):
+            tgt = sy_[:, None, :] + j               # (bb, 1->hp, n)
+            dyj = ((rows == tgt + 1).astype(jnp.float32) * ry_[:, 0]
+                   + (rows == tgt).astype(jnp.float32) * (1.0 - ry_[:, 0]))
+            gy = (tv_ * dyj[:, None, None, :, :]).sum(axis=3)  # (bb,w1,c,n)
+            px = rx_ * gy[:, 1:] + (1.0 - rx_) * gy[:, :-1]    # (bb,P,c,n)
+            out_ref[:, j * psz * c:(j + 1) * psz * c, :] = px.reshape(
+                bb, psz * c, n)
+
+    blk_t = pl.BlockSpec((bb, w1, c, hp, n), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    # (B, 1, N) so the trailing block dims equal the array dims (a (bb, N)
+    # block would violate the (8, 128)-divisibility rule for bb < 8)
+    blk_v = pl.BlockSpec((bb, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_o = pl.BlockSpec((bb, psz * psz * c, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        out_shape=jax.ShapeDtypeStruct((b, psz * psz * c, n), jnp.float32),
+        in_specs=[blk_t, blk_v, blk_v, blk_v],
+        out_specs=blk_o,
+    )(t, sy[:, None, :], ry[:, None, :], rx[:, None, :])
+
+
+def extract_bilinear_mxu_batched(lhs_hi, lhs_lo, pts: jnp.ndarray, psz: int,
+                                 pad: int, c: int, hp: int, wp: int,
+                                 use_pallas: bool) -> jnp.ndarray:
     """Bilinear patch extraction at float positions via one-hot MXU matmuls.
 
-    planes: output of _shifted_planes. pts: (N, 2) float positions.
-    Returns (D, N) with D = psz*psz*c, pixel order (j, i, c).
+    lhs_hi/lhs_lo: batched _shifted_planes, ((B, (psz+1)*C*Hp, Wp)) bf16.
+    pts: (B, N, 2) float positions. Returns (B, D, N), D = psz*psz*c,
+    pixel order (j, i, c).
 
     Implements getPatchStaticBil (patch.cpp:346-413): anchor = ceil(pt+1e-5),
     residual vs floor(pt); patch(j,i) = lerp_y(lerp_x of the (P+1)^2 window).
     """
-    lhs_hi, lhs_lo = planes
     w1 = psz + 1
-    n = pts.shape[0]
-    pos_c = jnp.ceil(pts + 1e-5).astype(jnp.int32)     # (N, 2)
-    resid = pts - jnp.floor(pts)                       # (N, 2)
-    rx = resid[:, 0]
-    ry = resid[:, 1]
-    sx = pos_c[:, 0] - psz // 2 - 1 + pad              # (N,) anchor column
-    sy = pos_c[:, 1] - psz // 2 - 1 + pad              # (N,) anchor row
+    b, n = pts.shape[0], pts.shape[1]
+    pos_c = jnp.ceil(pts + 1e-5).astype(jnp.int32)     # (B, N, 2)
+    resid = pts - jnp.floor(pts)                       # (B, N, 2)
+    rx = resid[:, :, 0]
+    ry = resid[:, :, 1]
+    sx = pos_c[:, :, 0] - psz // 2 - 1 + pad           # (B, N) anchor column
+    sy = pos_c[:, :, 1] - psz // 2 - 1 + pad           # (B, N) anchor row
 
     # exact 0/1 one-hot over columns, bf16 (values representable exactly)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (wp, n), 0)
-    onehot = (cols == sx[None, :]).astype(jnp.bfloat16)            # (Wp, N)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, wp, n), 1)
+    onehot = (cols == sx[:, None, :]).astype(jnp.bfloat16)     # (B, Wp, N)
 
-    # MXU: T[s, ch, y, n] = im[ch, y, x = sx_n + s]
-    t = (jnp.dot(lhs_hi, onehot, preferred_element_type=jnp.float32)
-         + jnp.dot(lhs_lo, onehot, preferred_element_type=jnp.float32))
-    t = t.reshape(w1, c, hp, n)
-
-    # row selection + y-bilinear fused as a one-hot contraction over rows.
-    # (A take_along_axis gather here costs ~15x the MXU matmul on TPU: the
-    # per-lane sublane gather serializes. The dense one-hot multiply-reduce
-    # fuses on the VPU.)  dy[j, y, n] = ry*[y==sy+j+1] + (1-ry)*[y==sy+j]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (psz, hp, n), 1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (psz, hp, n), 0)
-    tgt = sy[None, None, :] + jj
-    dy = ((rows == tgt + 1).astype(jnp.float32) * ry[None, None, :]
-          + (rows == tgt).astype(jnp.float32) * (1.0 - ry[None, None, :]))
-    # gy[s, c, j, n] = sum_y t[s, c, y, n] * dy[j, y, n]
-    gy = (t[:, :, None, :, :] * dy[None, None, :, :, :]).sum(axis=3)
-
-    # x-bilinear across the shift axis (patch.cpp:361-375)
-    px = rx * gy[1:] + (1.0 - rx) * gy[:-1]                    # (P_i, C, P_j, N)
-    # to (j, i, c, n) -> (D, N)
-    patch = jnp.transpose(px, (2, 0, 1, 3))
-    return patch.reshape(psz * psz * c, n)
+    # MXU: T[b, s, ch, y, n] = im[b, ch, y, x = sx_n + s]
+    dn = (((2,), (1,)), ((0,), (0,)))
+    t = (jax.lax.dot_general(lhs_hi, onehot, dn,
+                             preferred_element_type=jnp.float32)
+         + jax.lax.dot_general(lhs_lo, onehot, dn,
+                               preferred_element_type=jnp.float32))
+    t = t.reshape(b, w1, c, hp, n)
+    if use_pallas:
+        return _bilerp_select_pallas(t, sy, ry, rx, psz, c, hp)
+    return _bilerp_select_pure(t, sy, ry, rx, psz, c, hp)
 
 
 def loss_error_image(diff: jnp.ndarray, costfct: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -252,63 +322,70 @@ def loss_error_image(diff: jnp.ndarray, costfct: int) -> Tuple[jnp.ndarray, jnp.
 def _solve_step(hes: jnp.ndarray, rhs: jnp.ndarray, nop: int) -> jnp.ndarray:
     """Closed-form SPD solve of H dp = rhs (Eigen .llt().solve, patch.cpp:182).
 
-    hes: (3, N) or (1, N); rhs: (nop, N). Returns (nop, N)."""
+    hes: (B, 3, N) or (B, 1, N); rhs: (B, nop, N). Returns (B, nop, N)."""
     if nop == 2:
-        h00, h01, h11 = hes[0], hes[1], hes[2]
+        h00, h01, h11 = hes[:, 0], hes[:, 1], hes[:, 2]
         det = h00 * h11 - h01 * h01
-        dp0 = (h11 * rhs[0] - h01 * rhs[1]) / det
-        dp1 = (h00 * rhs[1] - h01 * rhs[0]) / det
-        return jnp.stack([dp0, dp1], axis=0)
+        dp0 = (h11 * rhs[:, 0] - h01 * rhs[:, 1]) / det
+        dp1 = (h00 * rhs[:, 1] - h01 * rhs[:, 0]) / det
+        return jnp.stack([dp0, dp1], axis=1)
     return rhs / hes
 
 
 @partial(jax.jit, static_argnames=("spec", "params"))
-def optimize_level(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
-                   tpl: PatchTemplates, p_init: jnp.ndarray) -> PatchResult:
-    """Optimize all patches of one scale (PatGridClass::Optimize,
-    patchgrid.cpp:134-141 + PatClass::OptimizeIter, patch.cpp:156-210).
+def optimize_level_batched(spec: LevelSpec, params: DISParams,
+                           im_b: jnp.ndarray, tpl: PatchTemplates,
+                           p_init: jnp.ndarray) -> PatchResult:
+    """Optimize all patches of one scale for a whole frame-pair batch
+    (PatGridClass::Optimize, patchgrid.cpp:134-141 + PatClass::OptimizeIter,
+    patch.cpp:156-210).
 
-    im_b: (C, Hp, Wp) padded target image at this level.
-    p_init: (N, nop) initial displacements (zero at the coarsest scale, else
-    from InitializeFromCoarserOF).
+    im_b: (B, C, Hp, Wp) padded target images; tpl fields carry a leading B;
+    p_init: (B, N, nop). Native batching (instead of vmap) lets the one-hot
+    extraction run as one batched MXU dot and the row-select/bilerp stage as
+    one batch-blocked Pallas kernel.
     """
     psz, pad, nop = params.p_samp_s, spec.pad, params.nop
     noc = params.noc
     novals = float(params.novals)
     pt_ref = grid_ref_points(spec)                      # (N, 2)
     n = pt_ref.shape[0]
-    hp, wp = im_b.shape[1], im_b.shape[2]
-    planes = _shifted_planes(im_b, psz)
-    p_init_t = p_init.T                                 # (nop, N)
-    pt_ref_t = pt_ref.T                                 # (2, N)
+    b = im_b.shape[0]
+    hp, wp = im_b.shape[2], im_b.shape[3]
+    lhs_hi, lhs_lo = jax.vmap(lambda x: _shifted_planes(x, psz))(im_b)
+    use_pallas = _use_pallas_bilerp()
+    p_init_t = jnp.swapaxes(p_init, 1, 2)               # (B, nop, N)
+    pt_ref_t = pt_ref.T[None]                           # (1, 2, N)
 
     def to_pt(p):
-        # (nop, N) -> (2, N)
+        # (B, nop, N) -> (B, 2, N)
         if nop == 2:
             return pt_ref_t + p
-        return pt_ref_t + jnp.concatenate([p, jnp.zeros_like(p)], axis=0)
+        return pt_ref_t + jnp.concatenate([p, jnp.zeros_like(p)], axis=1)
 
     def oob(pt):
-        return ((pt[0] < spec.tmp_lb) | (pt[1] < spec.tmp_lb)
-                | (pt[0] > spec.tmp_ubw) | (pt[1] > spec.tmp_ubh))
+        return ((pt[:, 0] < spec.tmp_lb) | (pt[:, 1] < spec.tmp_lb)
+                | (pt[:, 0] > spec.tmp_ubw) | (pt[:, 1] > spec.tmp_ubh))
 
     def compute_err(pt):
-        patch = extract_bilinear_mxu(planes, pt.T, psz, pad, noc, hp, wp)
+        patch = extract_bilinear_mxu_batched(
+            lhs_hi, lhs_lo, jnp.swapaxes(pt, 1, 2), psz, pad, noc, hp, wp,
+            use_pallas)
         if params.patnorm > 0:
-            patch = patch - patch.mean(axis=0, keepdims=True)
+            patch = patch - patch.mean(axis=1, keepdims=True)
         pdiff, pweight = loss_error_image(patch - tpl.tmpl, params.costfct)
-        mares = jnp.sum(pweight, axis=0) / novals
+        mares = jnp.sum(pweight, axis=1) / novals
         return pdiff, pweight, mares
 
     # ---- OptimizeStart (patch.cpp:118-154)
     pt0 = to_pt(p_init_t)
-    init_oob = oob(pt0)                                 # (N,)
-    pt0_safe = jnp.where(init_oob[None, :], pt_ref_t, pt0)  # safe gather pos
+    init_oob = oob(pt0)                                 # (B, N)
+    pt0_safe = jnp.where(init_oob[:, None, :], pt_ref_t, pt0)
     pdiff0, pweight0, mares0 = compute_err(pt0_safe)
     # init-OOB patches: pdiff = template; pweight = cost-weight of template
     # (documented deviation, see module docstring)
     tmpl_pd, tmpl_pw = loss_error_image(tpl.tmpl, params.costfct)
-    m = init_oob[None, :]
+    m = init_oob[:, None, :]
     pdiff0 = jnp.where(m, tpl.tmpl, pdiff0)
     pweight0 = jnp.where(m, tmpl_pw, pweight0)
     # cnt==0 convergence: only the residual threshold can stop here
@@ -316,8 +393,8 @@ def optimize_level(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
 
     state = dict(
         p=p_init_t, pdiff=pdiff0, pweight=pweight0, active=active0,
-        mares=mares0, mares_old=jnp.full((n,), 1e5, jnp.float32),
-        dpn_init=jnp.full((n,), 1e-10, jnp.float32),
+        mares=mares0, mares_old=jnp.full((b, n), 1e5, jnp.float32),
+        dpn_init=jnp.full((b, n), 1e-10, jnp.float32),
         it=jnp.asarray(0, jnp.int32),
     )
 
@@ -328,12 +405,12 @@ def optimize_level(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
         act = s["active"]
         it1 = s["it"] + 1
         # steepest-descent projection (patch.cpp:175-180)
-        rhs0 = jnp.sum(tpl.tdx * s["pdiff"], axis=0)
+        rhs0 = jnp.sum(tpl.tdx * s["pdiff"], axis=1)
         if nop == 2:
-            rhs1 = jnp.sum(tpl.tdy * s["pdiff"], axis=0)
-            rhs = jnp.stack([rhs0, rhs1], axis=0)
+            rhs1 = jnp.sum(tpl.tdy * s["pdiff"], axis=1)
+            rhs = jnp.stack([rhs0, rhs1], axis=1)
         else:
-            rhs = rhs0[None, :]
+            rhs = rhs0[:, None, :]
         dp = _solve_step(tpl.hes, rhs, nop)
         p_new = s["p"] - dp
         if nop == 1:  # depth disparity sign clamp (patch.cpp:186-191)
@@ -343,13 +420,13 @@ def optimize_level(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
                 p_new = jnp.maximum(p_new, 0.0)
         pt_new = to_pt(p_new)
         # outlier / out-of-bounds reset (patch.cpp:196-206)
-        moved = jnp.sqrt(jnp.sum((pt_new - pt0) ** 2, axis=0))
+        moved = jnp.sqrt(jnp.sum((pt_new - pt0) ** 2, axis=1))
         reset = (moved > params.outlierthresh) | oob(pt_new)
-        p_new = jnp.where(reset[None, :], p_init_t, p_new)
+        p_new = jnp.where(reset[:, None, :], p_init_t, p_new)
         pt_new = to_pt(p_new)
         # error image at the new position (patch.cpp:275-295)
         pdiff_new, pweight_new, mares_new = compute_err(pt_new)
-        dp_sqnorm = jnp.sum(dp * dp, axis=0)
+        dp_sqnorm = jnp.sum(dp * dp, axis=1)
         dpn_init = jnp.where(it1 == 1, dp_sqnorm, s["dpn_init"])
         # convergence predicate (patch.cpp:290-293)
         keep = ((it1 < params.max_iter)
@@ -361,9 +438,9 @@ def optimize_level(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
         active_new = act & keep & (~reset)
 
         def sel(new, old):
-            if new.ndim == 1:
+            if new.ndim == 2:
                 return jnp.where(act, new, old)
-            return jnp.where(act[None, :], new, old)
+            return jnp.where(act[:, None, :], new, old)
 
         return dict(
             p=sel(p_new, s["p"]), pdiff=sel(pdiff_new, s["pdiff"]),
@@ -377,9 +454,22 @@ def optimize_level(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
 
     final = jax.lax.while_loop(cond, body, state)
     p = final["p"]
-    return PatchResult(p=p.T, pt=to_pt(p).T,
-                       pweight=final["pweight"].reshape(psz, psz, noc, n),
+    return PatchResult(p=jnp.swapaxes(p, 1, 2),
+                       pt=jnp.swapaxes(to_pt(p), 1, 2),
+                       pweight=final["pweight"].reshape(b, psz, psz, noc, n),
                        iters=final["it"])
+
+
+def optimize_level(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
+                   tpl: PatchTemplates, p_init: jnp.ndarray) -> PatchResult:
+    """Single-pair convenience wrapper around optimize_level_batched.
+
+    im_b: (C, Hp, Wp); tpl fields (D, N)-shaped; p_init (N, nop).
+    """
+    tpl_b = PatchTemplates(*(f[None] for f in tpl))
+    res = optimize_level_batched(spec, params, im_b[None], tpl_b,
+                                 p_init[None])
+    return PatchResult(*(f[0] if f.ndim else f for f in res))
 
 
 def init_from_coarser(spec: LevelSpec, params: DISParams,

@@ -94,3 +94,18 @@ def test_cli_init_flow(tmp_path):
     f = uio.read_flo(warm)
     med = np.median(f[20:-20, 20:-20].reshape(-1, 2), axis=0)
     assert abs(med[0] - 2.0) < 0.5 and abs(med[1] - 1.0) < 0.5, med
+
+
+def test_flow_to_color():
+    """Middlebury color coding: zero flow is white-ish; pure +x flow at the
+    normalization radius maps to the wheel's 0-degree color region."""
+    import numpy as np
+    from of_dis_tpu.utils import viz
+    flow = np.zeros((4, 4, 2), np.float32)
+    img = viz.flow_to_color(flow, max_flow=1.0)
+    assert (img > 240).all()                       # near-white at zero motion
+    flow[..., 0] = 1.0
+    img = viz.flow_to_color(flow, max_flow=1.0)
+    assert img.shape == (4, 4, 3)
+    # all pixels identical, saturated hue
+    assert (img == img[0, 0]).all() and img[0, 0].min() < 200

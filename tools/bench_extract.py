@@ -13,7 +13,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
-    B, K = 64, 12
+    import os
+    B, K = int(os.environ.get("XB", "64")), 12
     prm = op_point_params(1024, 2)
     spec = make_level_spec(3, 1024, 448, prm)
     hp, wp = spec.padded_height, spec.padded_width
