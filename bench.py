@@ -40,7 +40,7 @@ def main():
     params = op_point_params(w_org, 2, nop=2, noc=1, verbosity=0)
 
     rng = np.random.default_rng(0)
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    batch = int(os.environ.get("BENCH_BATCH", "384"))
     base = rng.random((batch, 1, h_org, w_org)).astype(np.float32) * 255.0
     # smooth the noise so patch optimization does realistic work
     try:
@@ -67,12 +67,16 @@ def main():
     out = fn(im_a, im_b)
     _sync(out)
 
-    # throughput: dispatch a stream of batches, then force every output.
+    # throughput: stream batches with at most 2 outputs in flight (each
+    # full-res output is batch*448*1024*2 floats; holding all of them OOMs)
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
-    outs = [fn(im_a, im_b) if i % 2 == 0 else fn(im_b, im_a)
-            for i in range(iters)]
-    for o in outs:
+    pending = []
+    for i in range(iters):
+        pending.append(fn(im_a, im_b) if i % 2 == 0 else fn(im_b, im_a))
+        if len(pending) > 2:
+            _sync(pending.pop(0))
+    for o in pending:
         _sync(o)
     dt = time.perf_counter() - t0
     pairs_per_sec = batch * iters / dt

@@ -64,9 +64,11 @@ def _dis_flow_core(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
     """
     pad = params.p_samp_s
     ims_a, dxs_a, dys_a = jax.vmap(
-        lambda x: pyramid.build_pyramid(x, params.sc_f, pad))(im_a)
+        lambda x: pyramid.build_pyramid(x, params.sc_f, pad,
+                                        lv_l=params.sc_l))(im_a)
     ims_b, dxs_b, dys_b = jax.vmap(
-        lambda x: pyramid.build_pyramid(x, params.sc_f, pad))(im_b)
+        lambda x: pyramid.build_pyramid(x, params.sc_f, pad,
+                                        lv_l=params.sc_l))(im_b)
     batch = im_a.shape[0]
 
     flow = None
@@ -242,8 +244,10 @@ def dis_flow_timed(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
         _np.asarray(np_val)
 
     pad = params.p_samp_s
-    ims_a, dxs_a, dys_a = pyramid.build_pyramid(im_a, params.sc_f, pad)
-    ims_b, dxs_b, dys_b = pyramid.build_pyramid(im_b, params.sc_f, pad)
+    ims_a, dxs_a, dys_a = pyramid.build_pyramid(im_a, params.sc_f, pad,
+                                                lv_l=params.sc_l)
+    ims_b, dxs_b, dys_b = pyramid.build_pyramid(im_b, params.sc_f, pad,
+                                                lv_l=params.sc_l)
     _sync(ims_a)
 
     def clock():

@@ -83,24 +83,38 @@ def pad_border(img: jnp.ndarray, pad: int, mode: str) -> jnp.ndarray:
     return jnp.pad(img, ((0, 0), (pad, pad), (pad, pad)), mode="constant")
 
 
-def build_pyramid(img: jnp.ndarray, lv_f: int, pad: int, getgrad: bool = True
+def build_pyramid(img: jnp.ndarray, lv_f: int, pad: int, getgrad: bool = True,
+                  lv_l: int = 0
                   ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray], List[jnp.ndarray]]:
     """Construct padded image + gradient pyramids (run_dense.cpp:131-179).
 
     `img` is the divisibility-padded full-resolution (C,H,W) float32 image.
     Returns (imgs, dxs, dys) lists indexed by level 0..lv_f, each entry padded
     by `pad` on all sides (replicate for img, zeros for gradients).
+
+    Levels below `lv_l` (never visited by the coarse-to-fine loop when the
+    finest computed scale is lv_l > 0) get None entries: at op-point 2 the
+    unused full-resolution Sobel + border pads would otherwise dominate the
+    pyramid's memory and bandwidth.
     """
     levels = [img]
     for _ in range(lv_f):
         levels.append(halve(levels[-1]))
     imgs, dxs, dys = [], [], []
     for lv in range(lv_f + 1):
+        if lv < lv_l:
+            imgs.append(None)
+            dxs.append(None)
+            dys.append(None)
+            continue
         base = levels[lv]
         imgs.append(pad_border(base, pad, "edge"))
         if getgrad:
             dxs.append(pad_border(sobel_dx(base), pad, "zero"))
             dys.append(pad_border(sobel_dy(base), pad, "zero"))
+        else:
+            dxs.append(None)
+            dys.append(None)
     return imgs, dxs, dys
 
 
