@@ -142,26 +142,61 @@ def warp_image_batched(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
                        use_pallas: bool, bb: int):
     """Batched bilinear backward warp: src (B,C,H,W); wx/wy (B,H,W).
 
-    Index/weight arithmetic optionally fused in Pallas; the four corner
-    fetches stay XLA 2D advanced-index gathers (the fast gather form)."""
+    XLA:TPU gathers are element-bound (~10 cycles/element) and dominate the
+    TV stage, so on TPU the four corner fetches become TWO int32 gathers of
+    vertically-packed 16-bit pairs: P[y,x] = (q16(src[y,x]),
+    q16(src[min(y+1,H-1),x])) with a dynamic per-batch scale. Quantization
+    error is <= 0.5*max|src|/65535 (~0.002 on a 0..255 scale), below the
+    patch-extraction path's accepted hi/lo-bf16 tolerance. Exactness at the
+    top edge is preserved by zeroing dy where floor(y+wy) < 0 (both corners
+    then read row 0, reproducing the reference's index clamp).
+    """
     if use_pallas:
         x1, x2, y1, y2, dx, dy, mask = _warp_coeffs_pallas(wx, wy, bb)
     else:
         x1, x2, y1, y2, dx, dy, mask = _warp_coeffs(wx, wy)
 
     c = src.shape[1]
-
-    def one(s, iy_, ix_):
-        # per-channel 2D gathers: the extra leading C dim switches XLA:TPU
-        # to a ~10x slower gather lowering
-        return jnp.stack([s[ch][iy_, ix_] for ch in range(c)], 0)
-
-    v11 = jax.vmap(one)(src, y1, x1)
-    v12 = jax.vmap(one)(src, y1, x2)
-    v21 = jax.vmap(one)(src, y2, x1)
-    v22 = jax.vmap(one)(src, y2, x2)
     dxe = dx[:, None]
     dye = dy[:, None]
+
+    if use_pallas:  # TPU: packed-pair gathers
+        h = src.shape[2]
+        gy = jax.lax.broadcasted_iota(jnp.float32, wy.shape, wy.ndim - 2)
+        y0f = jnp.floor(gy + wy)
+        dy = jnp.where(y0f < 0, 0.0, dy)   # top-edge clamp via the weight
+        dye = dy[:, None]
+        scale = 65535.0 / jnp.maximum(jnp.max(src), 1e-6)
+        q = jnp.round(src * scale).astype(jnp.uint32)
+        down = _nbr(src, -2, 1, zero=False)
+        qd = jnp.round(down * scale).astype(jnp.uint32)
+        packed = (q | (qd << 16)).astype(jnp.uint32)
+
+        def onep(s, iy_, ix_):
+            return jnp.stack([s[ch][iy_, ix_] for ch in range(c)], 0)
+
+        g1 = jax.vmap(onep)(packed, y1, x1)
+        g2 = jax.vmap(onep)(packed, y1, x2)
+        inv = 1.0 / scale
+
+        def unpack(g):
+            lo = (g & jnp.uint32(0xFFFF)).astype(jnp.float32) * inv
+            hi = (g >> 16).astype(jnp.float32) * inv
+            return lo, hi
+
+        v11, v21 = unpack(g1)
+        v12, v22 = unpack(g2)
+    else:
+        def one(s, iy_, ix_):
+            # per-channel 2D gathers: the extra leading C dim switches
+            # XLA:TPU to a ~10x slower gather lowering
+            return jnp.stack([s[ch][iy_, ix_] for ch in range(c)], 0)
+
+        v11 = jax.vmap(one)(src, y1, x1)
+        v12 = jax.vmap(one)(src, y1, x2)
+        v21 = jax.vmap(one)(src, y2, x1)
+        v22 = jax.vmap(one)(src, y2, x2)
+
     out = (v11 * (1 - dxe) * (1 - dye) + v12 * dxe * (1 - dye)
            + v21 * (1 - dxe) * dye + v22 * dxe * dye)
     return out, mask
