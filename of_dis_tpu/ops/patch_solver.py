@@ -217,6 +217,16 @@ def _bilerp_select_pure(t, sy, ry, rx, psz, c, hp):
     return patch.reshape(b, psz * psz * c, n)
 
 
+def _bilerp_block(b: int, w1: int, c: int, hp: int, n: int):
+    """Largest batch block whose t-slab fits the VMEM budget, or None when
+    even a single pair exceeds it (large op-3/4 levels) — the pure path is
+    used then."""
+    for cand in (8, 4, 2, 1):
+        if b % cand == 0 and cand * w1 * c * hp * n * 4 < 6 * 1024 * 1024:
+            return cand
+    return None
+
+
 def _bilerp_select_pallas(t, sy, ry, rx, psz, c, hp):
     """Fused Pallas version of _bilerp_select_pure: the dense one-hot
     row-reduce materializes a (B, w1, c, psz, hp, n) product in XLA (~half
@@ -225,11 +235,7 @@ def _bilerp_select_pallas(t, sy, ry, rx, psz, c, hp):
     from jax.experimental.pallas import tpu as pltpu
 
     b, w1, _, _, n = t.shape
-    bb = 1
-    for cand in (8, 4, 2, 1):
-        if b % cand == 0 and cand * w1 * c * hp * n * 4 < 8 * 1024 * 1024:
-            bb = cand
-            break
+    bb = _bilerp_block(b, w1, c, hp, n)
 
     def kernel(t_ref, sy_ref, ry_ref, rx_ref, out_ref):
         tv_ = t_ref[:]                              # (bb, w1, c, hp, n)
@@ -295,7 +301,7 @@ def extract_bilinear_mxu_batched(lhs_hi, lhs_lo, pts: jnp.ndarray, psz: int,
          + jax.lax.dot_general(lhs_lo, onehot, dn,
                                preferred_element_type=jnp.float32))
     t = t.reshape(b, w1, c, hp, n)
-    if use_pallas:
+    if use_pallas and _bilerp_block(b, w1, c, hp, n) is not None:
         return _bilerp_select_pallas(t, sy, ry, rx, psz, c, hp)
     return _bilerp_select_pure(t, sy, ry, rx, psz, c, hp)
 
