@@ -23,11 +23,12 @@ Hardware mapping (the two decisions that make this fast on TPU):
    Instead: precompute psz+1 column-shifted copies of the level image once
    per level; each iteration builds an exact 0/1 one-hot (Wp, N) selecting
    each patch's anchor column and contracts the shifted images against it on
-   the MXU. A small take_along_axis then selects the psz+1 window rows, and
-   two elementwise lerps apply the bilinear weights. The one-hot is exact in
-   bfloat16; the image is split hi/lo into two bfloat16 planes whose
-   f32-accumulated products reconstruct float32 values to ~1e-3 absolute
-   (on a 0..255 intensity scale), far inside the parity budget.
+   the MXU (batched over frame pairs). Window-row selection + both bilinear
+   lerps then run as one batch-blocked Pallas kernel (XLA materializes the
+   equivalent one-hot row reduce; a row gather would serialize). The one-hot
+   is exact in bfloat16; the image is split hi/lo into two bfloat16 planes
+   whose f32-accumulated products reconstruct float32 values to ~1e-3
+   absolute (on a 0..255 intensity scale), far inside the parity budget.
 
 Numerics replicated from the reference:
   - template + gradient extraction at integer positions, optional patch

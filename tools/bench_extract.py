@@ -14,6 +14,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
     import os
+
     B, K = int(os.environ.get("XB", "64")), 12
     prm = op_point_params(1024, 2)
     spec = make_level_spec(3, 1024, 448, prm)
