@@ -138,13 +138,76 @@ def _warp_coeffs_pallas(wx: jnp.ndarray, wy: jnp.ndarray, bb: int):
     )(wx, wy)
 
 
+# HBM budget for the one-hot interpolation operands of the MXU warp (the
+# A matrices plus the x-interpolated Z tensor). Levels whose operands exceed
+# it fall back to the packed-gather warp.
+_MXU_WARP_BUDGET = 3 * 1024 ** 3
+
+
+def _use_mxu_warp(b: int, c: int, h: int, w: int, horiz_only: bool) -> bool:
+    import os
+    if os.environ.get("OF_DIS_TPU_NO_MXU_WARP"):
+        return False
+    a_bytes = b * h * w * w * 4
+    z_bytes = 0 if horiz_only else b * c * h * h * w * 4
+    return a_bytes + z_bytes < _MXU_WARP_BUDGET
+
+
+def warp_image_mxu(src: jnp.ndarray, coeffs):
+    """Gather-free bilinear backward warp on the MXU.
+
+    XLA:TPU gathers are element-bound (~10 cycles/element) and dominated the
+    TV stage even with packed corner pairs. Instead, bilinear sampling is a
+    product of two one-hot interpolations: for each output row o a sparse
+    matrix A[o] in R^{W x W} combines columns x1/x2 with weights (1-dx)/dx,
+    and a one-hot weighted reduction over input rows y combines rows y1/y2
+    with weights (1-dy)/dy (clamped indices reproduce image_warp's border
+    handling, opticalflow_aux.c:33-75, exactly):
+
+        Z[c,y,o,X] = sum_x src[c,y,x] * A[o,x,X]          (MXU matmul)
+        out[c,o,X] = sum_y V[y,o,X] * Z[c,y,o,X]          (VPU fused reduce)
+
+    f32 HIGHEST precision keeps the result within ~1e-5 of the exact gather
+    path. src (B,C,H,W); coeffs from _warp_coeffs[_pallas]."""
+    x1, x2, y1, y2, dx, dy, mask = coeffs
+    b, c, h, w = src.shape
+    # A laid out (b, x, o, X): batch, contract, free — the dot-friendly order
+    xin = jax.lax.broadcasted_iota(jnp.int32, (b, w, h, w), 1)
+    dxe = dx[:, None]
+    A = (jnp.where(xin == x1[:, None], 1.0 - dxe, 0.0)
+         + jnp.where(xin == x2[:, None], dxe, 0.0))
+    Z = jnp.einsum("bcyx,bxoX->bcyoX", src, A,
+                   precision=jax.lax.Precision.HIGHEST)
+    yin = jax.lax.broadcasted_iota(jnp.int32, (b, h, h, w), 1)   # (b,y,o,X)
+    dye = dy[:, None]
+    V = (jnp.where(yin == y1[:, None], 1.0 - dye, 0.0)
+         + jnp.where(yin == y2[:, None], dye, 0.0))
+    out = jnp.sum(V[:, None] * Z, axis=2)                        # (b,c,o,X)
+    return out, mask
+
+
+def warp_image_mxu_h(src: jnp.ndarray, coeffs):
+    """Horizontal-only MXU warp for the depth path (wy == 0: y1 == y and
+    dy == 0, so the vertical stage of warp_image_mxu is the identity)."""
+    x1, x2, y1, y2, dx, dy, mask = coeffs
+    b, c, h, w = src.shape
+    xin = jax.lax.broadcasted_iota(jnp.int32, (b, h, w, w), 2)   # (b,y,x,X)
+    dxe = dx[:, :, None]
+    A = (jnp.where(xin == x1[:, :, None], 1.0 - dxe, 0.0)
+         + jnp.where(xin == x2[:, :, None], dxe, 0.0))
+    out = jnp.einsum("bcyx,byxX->bcyX", src, A,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out, mask
+
+
 def warp_image_batched(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
-                       use_pallas: bool, bb: int):
+                       use_pallas: bool, bb: int, horiz_only: bool = False):
     """Batched bilinear backward warp: src (B,C,H,W); wx/wy (B,H,W).
 
-    XLA:TPU gathers are element-bound (~10 cycles/element) and dominate the
-    TV stage, so on TPU the four corner fetches become TWO int32 gathers of
-    vertically-packed 16-bit pairs: P[y,x] = (q16(src[y,x]),
+    On TPU (use_pallas), small levels take the gather-free MXU one-hot
+    path (warp_image_mxu / warp_image_mxu_h, exact to ~1e-5). Levels whose
+    interpolation operands exceed _MXU_WARP_BUDGET fall back to TWO int32
+    gathers of vertically-packed 16-bit pairs: P[y,x] = (q16(src[y,x]),
     q16(src[min(y+1,H-1),x])) with a dynamic per-batch scale. Quantization
     error is <= 0.5*max|src|/65535 (~0.002 on a 0..255 scale), below the
     patch-extraction path's accepted hi/lo-bf16 tolerance. Exactness at the
@@ -152,9 +215,15 @@ def warp_image_batched(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
     then read row 0, reproducing the reference's index clamp).
     """
     if use_pallas:
-        x1, x2, y1, y2, dx, dy, mask = _warp_coeffs_pallas(wx, wy, bb)
+        coeffs = _warp_coeffs_pallas(wx, wy, bb)
     else:
-        x1, x2, y1, y2, dx, dy, mask = _warp_coeffs(wx, wy)
+        coeffs = _warp_coeffs(wx, wy)
+    if use_pallas and _use_mxu_warp(src.shape[0], src.shape[1],
+                                    src.shape[2], src.shape[3], horiz_only):
+        if horiz_only:
+            return warp_image_mxu_h(src, coeffs)
+        return warp_image_mxu(src, coeffs)
+    x1, x2, y1, y2, dx, dy, mask = coeffs
 
     c = src.shape[1]
     dxe = dx[:, None]
@@ -780,7 +849,8 @@ def ref_level_de_batched(wx, im1, im2, *, alpha, gamma, delta, n_inner,
     wy0 = jnp.zeros_like(wx)
     pallas_ok = _use_pallas(h, w, noc)
     bb = _pick_bb(b, h, w, noc) if pallas_ok else 1
-    w_im2, mask = warp_image_batched(im2, wx, wy0, pallas_ok, bb)
+    w_im2, mask = warp_image_batched(im2, wx, wy0, pallas_ok, bb,
+                                     horiz_only=True)
     I = jax.vmap(get_derivatives)(im1, w_im2)
     kw = dict(noc=noc, camlr=camlr, quarter_alpha=quarter_alpha, hd3=hd3,
               hg3=hg3, n_inner=n_inner, n_solver=n_solver, omega=omega)

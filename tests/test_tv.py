@@ -26,6 +26,30 @@ def test_warp_matches_oracle():
     np.testing.assert_array_equal(np.asarray(mask), rmask)
 
 
+def test_warp_mxu_matches_oracle():
+    """The gather-free MXU warp (one-hot interpolation matmuls) must agree
+    with the oracle to float accuracy, including border clamps, for both the
+    general and the horizontal-only (depth, wy=0) variants."""
+    for c in (1, 3):
+        im1, im2, wx, wy = _data(c=c, seed=7)
+        # include large displacements so corner clamps are exercised
+        wx[0, :] = 30.0
+        wy[:, 0] = -25.0
+        src = jnp.asarray(im2)[None]
+        coeffs = tv._warp_coeffs(jnp.asarray(wx)[None], jnp.asarray(wy)[None])
+        ours, mask = tv.warp_image_mxu(src, coeffs)
+        ref, rmask = otv.warp(im2, wx, wy)
+        np.testing.assert_allclose(np.asarray(ours[0]), ref, atol=2e-3)
+        np.testing.assert_array_equal(np.asarray(mask[0]), rmask)
+
+        wy0 = np.zeros_like(wy)
+        coeffs = tv._warp_coeffs(jnp.asarray(wx)[None], jnp.asarray(wy0)[None])
+        ours_h, mask_h = tv.warp_image_mxu_h(src, coeffs)
+        ref_h, rmask_h = otv.warp(im2, wx, wy0)
+        np.testing.assert_allclose(np.asarray(ours_h[0]), ref_h, atol=2e-3)
+        np.testing.assert_array_equal(np.asarray(mask_h[0]), rmask_h)
+
+
 def test_derivatives_match_oracle():
     im1, im2, wx, wy = _data(seed=1)
     wim2, _ = otv.warp(im2, wx, wy)

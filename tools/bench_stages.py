@@ -7,10 +7,13 @@ block_until_ready does not block: sync = host fetch of a dependent scalar).
 Usage: python tools/bench_stages.py [batch]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -10,6 +10,9 @@ import time
 
 import numpy as np
 
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     import jax
