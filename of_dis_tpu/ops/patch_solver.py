@@ -314,13 +314,15 @@ def loss_error_image(diff: jnp.ndarray, costfct: int) -> Tuple[jnp.ndarray, jnp.
     """
     if costfct == COST_L2:
         return diff, jnp.abs(diff)
+    # sign transfer as where() (value-equal to copysign for w >= 0; w == 0
+    # whenever diff == +-0) — jnp.copysign has no Mosaic lowering
     if costfct == COST_L1:
         w = jnp.sqrt(jnp.abs(diff))
-        return jnp.copysign(w, diff), w
+        return jnp.where(diff >= 0.0, w, -w), w
     if costfct == COST_HUBER:
         bsq = NORMOUTLIER * NORMOUTLIER
         w = jnp.sqrt(2.0 * bsq * (jnp.sqrt(1.0 + diff * diff / bsq) - 1.0))
-        return jnp.copysign(w, diff), w
+        return jnp.where(diff >= 0.0, w, -w), w
     # costfct outside {0,1,2}: the reference computes nothing (patch.cpp:228-272
     # falls through), leaving pdiff/pweight stale; we define it as zeros.
     return jnp.zeros_like(diff), jnp.zeros_like(diff)
@@ -337,6 +339,246 @@ def _solve_step(hes: jnp.ndarray, rhs: jnp.ndarray, nop: int) -> jnp.ndarray:
         dp1 = (h00 * rhs[:, 1] - h01 * rhs[:, 0]) / det
         return jnp.stack([dp0, dp1], axis=1)
     return rhs / hes
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _shifted_planes_banded(im: jnp.ndarray, psz: int, hpb: int):
+    """Column-shifted bf16 hi/lo planes for the fused GN kernel.
+
+    Rows are zero-padded to hpb (see _gn_hpb) so that every 8-row band index
+    bi = sy // 8 has a full band window [8*bi, 8*bi + WB) inside the plane
+    (the padding rows are never selected: window rows are bounds-checked
+    against the real image extent)."""
+    c, hp, wp = im.shape
+    w1 = psz + 1
+    imp = jnp.pad(im, ((0, 0), (0, hpb - hp), (0, 0)))
+    shifts = [jnp.pad(imp[:, :, s:], ((0, 0), (0, 0), (0, s)))
+              for s in range(w1)]
+    stack = jnp.stack(shifts, axis=0)                  # (W1, C, Hpb, Wp)
+    hi = stack.astype(jnp.bfloat16)
+    lo = (stack - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi.reshape(w1 * c * hpb, wp), lo.reshape(w1 * c * hpb, wp)
+
+
+def _gn_windows(psz: int, hp: int):
+    """(band window rows WB, padded plane rows hpb, band count) for the
+    fused kernel's two-stage row selection. WB covers any (psz+1)-row
+    window starting at an in-band offset s3 < 8."""
+    wb = _round_up(psz + 8, 8)
+    hpb = _round_up(hp, 8) + wb - 8
+    nbands = (hpb - wb) // 8 + 1
+    return wb, hpb, nbands
+
+
+def _pick_gn_bb(b: int, w1: int, c: int, hpb: int, wp: int, d: int, n: int):
+    """Batch block for the fused GN kernel, or None when one pair's working
+    set already exceeds the VMEM budget."""
+    per = (2 * w1 * c * hpb * wp * 2      # lhs hi/lo blocks (bf16)
+           + 2 * w1 * c * hpb * n * 4    # t + shifted copies (transient)
+           + 7 * d * n * 4)              # tmpl/tdx/tdy + carry + outputs
+    cap = 10 * 1024 * 1024
+    for cand in (8, 4, 2, 1):
+        if b % cand == 0 and cand * per < cap:
+            return cand
+    return None
+
+
+def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs_hi, lhs_lo,
+                     tpl: PatchTemplates, p_init_t: jnp.ndarray,
+                     pt_ref_t: jnp.ndarray, bb: int, hpb: int):
+    """The whole per-level Gauss-Newton loop as one fused Pallas kernel.
+
+    Replicates the XLA while-loop body of optimize_level_batched exactly
+    (the masked fixed-trip fori is semantically identical: the per-patch
+    `active` mask governs all state updates; the while's global any() exit
+    is only a wall-clock shortcut). Everything stays in VMEM per program:
+
+      - one-hot column extraction runs as two bf16 MXU dots per pair per
+        iteration (the XLA path's t tensor, (B, w1*c*hp, N) f32 per
+        iteration, never touches HBM — it was the dominant HBM traffic of
+        the whole pipeline),
+      - row selection is two-stage: an 8-row-granular band select (nbands
+        masked adds) followed by a 3-bit in-band roll align, instead of a
+        dense one-hot reduce over all hp rows,
+      - the GN math (steepest-descent projections, closed-form solve,
+        bounds/outlier resets, convergence predicate of patch.cpp:287-293)
+        runs on (bb, D, N) blocks.
+
+    lhs_hi/lhs_lo: (B, w1*c*hpb, wp) bf16 banded planes; tpl fields
+    (B, D, N); p_init_t (B, nop, N); pt_ref_t (1, 2, N).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    psz, pad, nop, c = params.p_samp_s, spec.pad, params.nop, params.noc
+    w1 = psz + 1
+    wb, _, nbands = _gn_windows(psz, spec.padded_height)
+    b, m_rows, wp = lhs_hi.shape
+    d = tpl.tmpl.shape[1]
+    n = tpl.tmpl.shape[2]
+    nh = tpl.hes.shape[1]
+    novals = float(params.novals)
+
+    def kernel(lh_ref, ll_ref, tm_ref, tx_ref, ty_ref, he_ref, p0_ref,
+               pr_ref, po_ref, pw_ref):
+        tmpl = tm_ref[:]
+        tdx = tx_ref[:]
+        tdy = ty_ref[:]
+        hes = he_ref[:]
+        p_init = p0_ref[:]
+        ptr = pr_ref[:]                                  # (1, 2, n)
+
+        def to_pt(p):
+            if nop == 2:
+                return ptr + p
+            return jnp.concatenate(
+                [ptr[:, 0:1] + p,
+                 jnp.broadcast_to(ptr[:, 1:2], p.shape)], axis=1)
+
+        def oob(pt):
+            return ((pt[:, 0] < spec.tmp_lb) | (pt[:, 1] < spec.tmp_lb)
+                    | (pt[:, 0] > spec.tmp_ubw) | (pt[:, 1] > spec.tmp_ubh))
+
+        def extract(pt):
+            pos_c = jnp.ceil(pt + 1e-5).astype(jnp.int32)
+            resid = pt - jnp.floor(pt)
+            sx = pos_c[:, 0] - psz // 2 - 1 + pad        # (bb, n)
+            sy = pos_c[:, 1] - psz // 2 - 1 + pad
+            rx = resid[:, 0]
+            ry = resid[:, 1]
+            outs = []
+            for k in range(bb):
+                cols = jax.lax.broadcasted_iota(jnp.int32, (wp, n), 0)
+                oh = (cols == sx[k][None, :]).astype(jnp.bfloat16)
+                t = (jnp.dot(lh_ref[k], oh,
+                             preferred_element_type=jnp.float32)
+                     + jnp.dot(ll_ref[k], oh,
+                               preferred_element_type=jnp.float32))
+                t = t.reshape(w1 * c, hpb, n)
+                bi = jax.lax.shift_right_logical(sy[k], 3)
+                tb = jnp.zeros((w1 * c, wb, n), jnp.float32)
+                for band in range(nbands):
+                    m = (bi == band)[None, None, :]
+                    tb = tb + jnp.where(
+                        m, t[:, 8 * band:8 * band + wb, :], 0.0)
+                s3 = jnp.bitwise_and(sy[k], 7)
+                a = tb
+                for bit in range(3):
+                    amt = 1 << bit
+                    rolled = pltpu.roll(a, (wb - amt) % wb, 1)
+                    m = (jnp.bitwise_and(jax.lax.shift_right_logical(
+                        s3, bit), 1) == 1)[None, None, :]
+                    a = jnp.where(m, rolled, a)
+                # a[:, j, :] == t[:, sy + j, :] for j in 0..psz
+                ryk = ry[k][None, :]
+                rxk = rx[k][None, None, :]
+                rows = [a[:, j, :] for j in range(psz + 1)]   # (w1*c, n)
+                parts = []
+                for j in range(psz):
+                    wyj = (1.0 - ryk) * rows[j] + ryk * rows[j + 1]
+                    wyj = wyj.reshape(w1, c, n)
+                    pxj = (1.0 - rxk) * wyj[:psz] + rxk * wyj[1:]
+                    parts.append(pxj.reshape(psz * c, n))
+                outs.append(jnp.concatenate(parts, axis=0))   # (D, n)
+            return jnp.stack(outs, axis=0)                    # (bb, D, n)
+
+        def compute_err(pt):
+            patch = extract(pt)
+            if params.patnorm > 0:
+                patch = patch - patch.mean(axis=1, keepdims=True)
+            pdiff, pweight = loss_error_image(patch - tmpl, params.costfct)
+            mares = jnp.sum(pweight, axis=1) / novals
+            return pdiff, pweight, mares
+
+        pt0 = to_pt(p_init)
+        init_oob = oob(pt0)
+        pt0_safe = jnp.where(init_oob[:, None, :],
+                             jnp.broadcast_to(ptr, pt0.shape), pt0)
+        pdiff0, pweight0, mares0 = compute_err(pt0_safe)
+        _, tmpl_pw = loss_error_image(tmpl, params.costfct)
+        m0 = init_oob[:, None, :]
+        pdiff0 = jnp.where(m0, tmpl, pdiff0)
+        pweight0 = jnp.where(m0, tmpl_pw, pweight0)
+        active0 = ((~init_oob) & (params.max_iter > 0)
+                   & (mares0 > params.res_thresh))
+
+        def body(i, carry):
+            # `active` rides the carry as a 0/1 f32 mask: Mosaic cannot
+            # legalize i1 vectors in scf.for operands
+            p, pdiff, pweight, active_f, mares, mares_old, dpn_init = carry
+            active = active_f > 0.5
+            it1 = i + 1
+            rhs0 = jnp.sum(tdx * pdiff, axis=1)
+            if nop == 2:
+                rhs1 = jnp.sum(tdy * pdiff, axis=1)
+                rhs = jnp.stack([rhs0, rhs1], axis=1)
+            else:
+                rhs = rhs0[:, None, :]
+            dp = _solve_step(hes, rhs, nop)
+            p_new = p - dp
+            if nop == 1:
+                if spec.camlr == 0:
+                    p_new = jnp.minimum(p_new, 0.0)
+                else:
+                    p_new = jnp.maximum(p_new, 0.0)
+            pt_new = to_pt(p_new)
+            moved = jnp.sqrt(jnp.sum((pt_new - pt0) ** 2, axis=1))
+            reset = (moved > params.outlierthresh) | oob(pt_new)
+            p_new = jnp.where(reset[:, None, :], p_init, p_new)
+            pt_new = to_pt(p_new)
+            pdiff_new, pweight_new, mares_new = compute_err(pt_new)
+            dp_sqnorm = jnp.sum(dp * dp, axis=1)
+            dpn_init_new = jnp.where(it1 == 1, dp_sqnorm, dpn_init)
+            keep = ((it1 < params.max_iter)
+                    & (mares_new > params.res_thresh)
+                    & ((it1 < params.min_iter)
+                       | (dp_sqnorm / dpn_init_new >= params.dp_thresh_sq))
+                    & ((it1 < params.min_iter)
+                       | (mares_new / mares <= params.dr_thresh)))
+            active_new = active & keep & (~reset)
+
+            def sel(new, old):
+                if new.ndim == 2:
+                    return jnp.where(active, new, old)
+                return jnp.where(active[:, None, :], new, old)
+
+            return (sel(p_new, p), sel(pdiff_new, pdiff),
+                    sel(pweight_new, pweight),
+                    (active & active_new).astype(jnp.float32),
+                    sel(mares_new, mares), sel(mares, mares_old),
+                    sel(dpn_init_new, dpn_init))
+
+        carry0 = (p_init, pdiff0, pweight0, active0.astype(jnp.float32),
+                  mares0, jnp.full((bb, n), 1e5, jnp.float32),
+                  jnp.full((bb, n), 1e-10, jnp.float32))
+        out = jax.lax.fori_loop(0, params.max_iter, body, carry0)
+        po_ref[:] = out[0]
+        pw_ref[:] = out[2]
+
+    blk_lhs = pl.BlockSpec((bb, m_rows, wp), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    blk_d = pl.BlockSpec((bb, d, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_h = pl.BlockSpec((bb, nh, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_p = pl.BlockSpec((bb, nop, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_ptr = pl.BlockSpec((1, 2, n), lambda i: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    p_out, pw_out = pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        out_shape=(jax.ShapeDtypeStruct((b, nop, n), jnp.float32),
+                   jax.ShapeDtypeStruct((b, d, n), jnp.float32)),
+        in_specs=[blk_lhs, blk_lhs, blk_d, blk_d, blk_d, blk_h, blk_p,
+                  blk_ptr],
+        out_specs=(blk_p, blk_d),
+    )(lhs_hi, lhs_lo, tpl.tmpl, tpl.tdx, tpl.tdy, tpl.hes, p_init_t,
+      pt_ref_t)
+    return p_out, pw_out
 
 
 @partial(jax.jit, static_argnames=("spec", "params"))
@@ -359,7 +601,6 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
     n = pt_ref.shape[0]
     b = im_b.shape[0]
     hp, wp = im_b.shape[2], im_b.shape[3]
-    lhs_hi, lhs_lo = jax.vmap(lambda x: _shifted_planes(x, psz))(im_b)
     use_pallas = _use_pallas_bilerp()
     p_init_t = jnp.swapaxes(p_init, 1, 2)               # (B, nop, N)
     pt_ref_t = pt_ref.T[None]                           # (1, 2, N)
@@ -369,6 +610,23 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
         if nop == 2:
             return pt_ref_t + p
         return pt_ref_t + jnp.concatenate([p, jnp.zeros_like(p)], axis=1)
+
+    if use_pallas:
+        # fused whole-loop kernel (see _gn_fused_pallas)
+        _, hpb, _ = _gn_windows(psz, hp)
+        bb = _pick_gn_bb(b, psz + 1, noc, hpb, wp, psz * psz * noc, n)
+        if bb is not None:
+            lhs_hi, lhs_lo = jax.vmap(
+                lambda x: _shifted_planes_banded(x, psz, hpb))(im_b)
+            p_fin, pw = _gn_fused_pallas(spec, params, lhs_hi, lhs_lo, tpl,
+                                         p_init_t, pt_ref_t, bb, hpb)
+            return PatchResult(
+                p=jnp.swapaxes(p_fin, 1, 2),
+                pt=jnp.swapaxes(to_pt(p_fin), 1, 2),
+                pweight=pw.reshape(b, psz, psz, noc, n),
+                iters=jnp.asarray(params.max_iter, jnp.int32))
+
+    lhs_hi, lhs_lo = jax.vmap(lambda x: _shifted_planes(x, psz))(im_b)
 
     def oob(pt):
         return ((pt[:, 0] < spec.tmp_lb) | (pt[:, 1] < spec.tmp_lb)

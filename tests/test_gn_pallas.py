@@ -1,0 +1,86 @@
+"""The fused Pallas Gauss-Newton level kernel must match the pure-XLA
+while-loop path of optimize_level_batched.
+
+On CPU the kernel runs in Pallas interpret mode; on TPU it compiles via
+Mosaic (covered by the TPU bench/driver runs and tools/smoke_tpu.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from of_dis_tpu.ops import patch_solver
+from of_dis_tpu.params import DISParams, make_level_spec
+from tests.test_patch_solver import _level_data, _make_pair
+
+
+def _run(prm, spec, img_a, img_b, p_init, fused: bool, monkeypatch):
+    psz = prm.p_samp_s
+    im_a, dx_a, dy_a, im_b = _level_data(img_a, img_b, psz)
+    tpl = patch_solver.extract_templates(spec, prm, jnp.asarray(im_a),
+                                         jnp.asarray(dx_a), jnp.asarray(dy_a))
+    tpl_b = patch_solver.PatchTemplates(*(f[None] for f in tpl))
+    with monkeypatch.context() as m:
+        if fused:
+            from jax.experimental import pallas as pl
+            orig = pl.pallas_call
+
+            def patched(*args, **kw):
+                kw.setdefault("interpret", True)
+                return orig(*args, **kw)
+
+            m.setattr(pl, "pallas_call", patched)
+            m.setattr(patch_solver, "_use_pallas_bilerp", lambda: True)
+        else:
+            m.setattr(patch_solver, "_use_pallas_bilerp", lambda: False)
+        # bypass the jit cache: it would memoize across the monkeypatch
+        res = patch_solver.optimize_level_batched.__wrapped__(
+            spec, prm, jnp.asarray(im_b)[None], tpl_b, p_init[None])
+    return res
+
+
+@pytest.mark.parametrize("noc,costfct,patnorm",
+                         [(1, 0, 1), (1, 1, 1), (1, 2, 0), (3, 0, 1)])
+def test_gn_fused_matches_xla_flow(monkeypatch, noc, costfct, patnorm):
+    h, w, psz = 40, 48, 8
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=12, min_iter=12, p_samp_s=psz,
+                    patove=0.4, costfct=costfct, patnorm=patnorm, noc=noc,
+                    nop=2, usetvref=False)
+    spec = make_level_spec(0, w, h, prm)
+    img_a, img_b = _make_pair(h, w, c=noc)
+    n = spec.nopatches
+    rng = np.random.default_rng(3)
+    # nonzero inits so resets/convergence branches are exercised
+    p_init = jnp.asarray(rng.standard_normal((n, 2)) * 1.5, jnp.float32)
+    ref = _run(prm, spec, img_a, img_b, p_init, False, monkeypatch)
+    got = _run(prm, spec, img_a, img_b, p_init, True, monkeypatch)
+    assert patch_solver._pick_gn_bb(
+        1, psz + 1, noc, patch_solver._gn_windows(psz, spec.padded_height)[1],
+        spec.padded_width, psz * psz * noc, n) is not None
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.pt), np.asarray(ref.pt),
+                               rtol=0, atol=5e-4)
+    # L1/Huber weights are sqrt(|diff|)-shaped: float noise in a near-zero
+    # residual amplifies to ~1e-2 in the weight
+    np.testing.assert_allclose(np.asarray(got.pweight),
+                               np.asarray(ref.pweight), rtol=0, atol=2e-2)
+
+
+@pytest.mark.parametrize("camlr", [0, 1])
+def test_gn_fused_matches_xla_depth(monkeypatch, camlr):
+    h, w, psz = 40, 48, 8
+    shift = (-2.3, 0.0) if camlr == 0 else (2.3, 0.0)
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=8, min_iter=8, p_samp_s=psz,
+                    patove=0.4, noc=1, nop=1, usetvref=False)
+    spec = make_level_spec(0, w, h, prm, camlr=camlr)
+    img_a, img_b = _make_pair(h, w, c=1, shift=shift)
+    n = spec.nopatches
+    p_init = jnp.zeros((n, 1), jnp.float32)
+    ref = _run(prm, spec, img_a, img_b, p_init, False, monkeypatch)
+    got = _run(prm, spec, img_a, img_b, p_init, True, monkeypatch)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.pweight),
+                               np.asarray(ref.pweight), rtol=0, atol=5e-3)

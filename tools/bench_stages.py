@@ -88,8 +88,8 @@ def main():
             p0 = jnp.zeros((B, n, 2), jnp.float32)
 
             def one(i, p0):
-                res = jax.vmap(lambda b, t, p: patch_solver.optimize_level(
-                    spec, prm, b, t, p))(ib, tpl, p0)
+                res = patch_solver.optimize_level_batched(
+                    spec, prm, ib, tpl, p0)
                 return res.p * (1.0 - 1e-12)
             return jax.lax.fori_loop(0, K, one, p0)
 
@@ -98,12 +98,13 @@ def main():
             tpl = jax.vmap(lambda a, dx, dy: patch_solver.extract_templates(
                 spec, prm, a, dx, dy))(ia, dxa, dya)
             p0 = jnp.zeros((B, n, 2), jnp.float32)
-            res = jax.vmap(lambda b, t, p: patch_solver.optimize_level(
-                spec, prm, b, t, p))(ib, tpl, p0)
+            res = patch_solver.optimize_level_batched(spec, prm, ib, tpl, p0)
 
             def one(i, c):
-                fl = jax.vmap(lambda r: densify.aggregate_flow_dense(
-                    spec, prm, r))(res)
+                mk = patch_solver.PatchResult
+                fl = jax.vmap(lambda p, pt, pw: densify.aggregate_flow_dense(
+                    spec, prm, mk(p, pt, pw, res.iters)))(
+                    res.p, res.pt, res.pweight)
                 return c + fl[:, 0, 0, 0] * 1e-12
             return jax.lax.fori_loop(0, K, one, jnp.zeros((B,)))
 
@@ -119,10 +120,10 @@ def main():
         @jax.jit
         def stage_tv(flow0, i1, i2):
             def one(i, f):
-                wx, wy = jax.vmap(lambda fl, a, b: tv.ref_level_of(
-                    fl[:, :, 0], fl[:, :, 1], a, b, alpha=prm.tv_alpha,
+                wx, wy = tv.ref_level_of_batched(
+                    f[..., 0], f[..., 1], i1, i2, alpha=prm.tv_alpha,
                     gamma=prm.tv_gamma, delta=prm.tv_delta, n_inner=n_inner,
-                    n_solver=prm.tv_solverit, omega=prm.tv_sor))(f, i1, i2)
+                    n_solver=prm.tv_solverit, omega=prm.tv_sor)
                 return jnp.stack([wx, wy], axis=-1) * (1.0 - 1e-12)
             return jax.lax.fori_loop(0, K, one, flow0)
 
