@@ -70,7 +70,8 @@ def main():
         per-iteration dependent-scalar fetch enqueues its slice program
         behind later batches and serializes a ~30ms tunnel round trip into
         the device queue (measured with jax.profiler)."""
-        out = dis.dis_flow_batched(a, b, params, full_w, full_h)
+        out = dis.dis_flow_batched(a, b, params, full_w, full_h,
+                                   channels_last=False)
         return out, chk + jnp.sum(out)
 
     # compile + warm up (includes one full execution, forced by the fetch)

@@ -176,17 +176,28 @@ def dis_flow_full(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
     return upscale_output(flow, params.sc_l, full_h, full_w)
 
 
-@partial(jax.jit, static_argnames=("params", "full_w", "full_h"))
+@partial(jax.jit, static_argnames=("params", "full_w", "full_h",
+                                   "channels_last"))
 def dis_flow_batched(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
-                     full_w: int, full_h: int) -> jnp.ndarray:
+                     full_w: int, full_h: int,
+                     channels_last: bool = True) -> jnp.ndarray:
     """Throughput mode over a leading frame-pair batch axis.
 
-    im_a, im_b: (B, C, H, W). Returns (B, H, W, nop) full-resolution flow.
-    Shard the batch axis over a mesh with of_dis_tpu.parallel for multi-chip.
+    im_a, im_b: (B, C, H, W). Returns (B, H, W, nop) full-resolution flow,
+    or (B, nop, H, W) with channels_last=False — the device-native planar
+    layout, skipping a full-resolution relayout copy (~11us/pair); use it
+    when the consumer (checksum, planar serving, host-side repack) does not
+    need interleaved channels. Shard the batch axis over a mesh with
+    of_dis_tpu.parallel for multi-chip.
     """
     flow = _dis_flow_core(im_a, im_b, params, full_w, full_h)
-    return jax.vmap(lambda f: upscale_output(f, params.sc_l, full_h,
-                                             full_w))(flow)
+    sc = float(2 ** params.sc_l)
+    f = jnp.moveaxis(flow * sc, 3, 1)                   # (B, nop, h, w)
+    if params.sc_l != 0:
+        f = jax.vmap(lambda x: pyramid.resize_linear(x, full_h, full_w))(f)
+    if channels_last:
+        return jnp.moveaxis(f, 1, 3)
+    return f
 
 
 def warm_start_from_full(flow_full: jnp.ndarray, sc_f: int) -> jnp.ndarray:

@@ -174,13 +174,14 @@ def _shifted_planes(im: jnp.ndarray, psz: int):
     """
     c, hp, wp = im.shape
     w1 = psz + 1
-    shifts = [
-        jnp.pad(im[:, :, s:], ((0, 0), (0, 0), (0, s))) for s in range(w1)
-    ]
-    stack = jnp.stack(shifts, axis=0)                  # (W1, C, Hp, Wp)
-    hi = stack.astype(jnp.bfloat16)
-    lo = (stack - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return (hi.reshape(w1 * c * hp, wp), lo.reshape(w1 * c * hp, wp))
+    # concatenate flat (C*Hp, Wp) blocks instead of stack+reshape: the
+    # stacked 4-D form makes XLA pick a batch-minor layout and relayout-copy
+    cat = jnp.concatenate(
+        [jnp.pad(im[:, :, s:], ((0, 0), (0, 0), (0, s))).reshape(c * hp, wp)
+         for s in range(w1)], axis=0)                  # (W1*C*Hp, Wp)
+    hi = cat.astype(jnp.bfloat16)
+    lo = (cat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (hi, lo)
 
 
 def _use_pallas_bilerp() -> bool:
@@ -355,12 +356,12 @@ def _shifted_planes_banded(im: jnp.ndarray, psz: int, hpb: int):
     c, hp, wp = im.shape
     w1 = psz + 1
     imp = jnp.pad(im, ((0, 0), (0, hpb - hp), (0, 0)))
-    shifts = [jnp.pad(imp[:, :, s:], ((0, 0), (0, 0), (0, s)))
-              for s in range(w1)]
-    stack = jnp.stack(shifts, axis=0)                  # (W1, C, Hpb, Wp)
-    hi = stack.astype(jnp.bfloat16)
-    lo = (stack - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi.reshape(w1 * c * hpb, wp), lo.reshape(w1 * c * hpb, wp)
+    cat = jnp.concatenate(
+        [jnp.pad(imp[:, :, s:], ((0, 0), (0, 0), (0, s))).reshape(
+            c * hpb, wp) for s in range(w1)], axis=0)  # (W1*C*Hpb, Wp)
+    hi = cat.astype(jnp.bfloat16)
+    lo = (cat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def _gn_windows(psz: int, hp: int):

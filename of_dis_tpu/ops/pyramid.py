@@ -17,8 +17,38 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
-import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _lerp_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix, cv::INTER_LINEAR
+    convention: half-pixel centers, edge clamp. Exact box mean at integer
+    downscale factors (e.g. x0.5 -> rows [.., 0.5, 0.5, ..])."""
+    m = np.zeros((n_out, n_in), np.float32)
+    x = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    f = (x - x0).astype(np.float32)
+    i0 = np.clip(x0, 0, n_in - 1)
+    i1 = np.clip(x0 + 1, 0, n_in - 1)
+    rows = np.arange(n_out)
+    np.add.at(m, (rows, i0), 1.0 - f)
+    np.add.at(m, (rows, i1), f)
+    return m
+
+
+def _resize_mm(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize of (C, H, W) as two constant-matrix contractions.
+
+    out[c,i,j] = sum_{h,w} Mh[i,h] img[c,h,w] Mw[j,w], horizontal first —
+    cv::resize's evaluation order. Matmuls keep canonical layouts; the
+    strided-slice / 5-D-reshape formulations force XLA into full relayout
+    copies of every level (measured ~9ms per full-res Sintel batch)."""
+    c, h, w = img.shape
+    mh = jnp.asarray(_lerp_matrix(out_h, h))
+    mw = jnp.asarray(_lerp_matrix(out_w, w))
+    t = jnp.einsum("chw,jw->chj", img, mw, precision="highest")
+    return jnp.einsum("chj,ih->cij", t, mh, precision="highest")
 
 
 def pad_to_divisible(img: jnp.ndarray, lv_f: int) -> jnp.ndarray:
@@ -47,8 +77,7 @@ def halve(img: jnp.ndarray) -> jnp.ndarray:
     """
     c, h, w = img.shape
     x = img[:, : (h // 2) * 2, : (w // 2) * 2]
-    x = x.reshape(c, h // 2, 2, w // 2, 2)
-    return x.mean(axis=(2, 4))
+    return _resize_mm(x, h // 2, w // 2)
 
 
 def _sep_filter_reflect101(img: jnp.ndarray, kh: Tuple[float, float, float],
@@ -132,5 +161,4 @@ def resize_linear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     Half-pixel-center bilinear with edge clamping — matches OpenCV for
     upscaling and for the final flow rescale (run_dense.cpp:408-412).
     """
-    c, h, w = img.shape
-    return jax.image.resize(img, (c, out_h, out_w), method="linear")
+    return _resize_mm(img, out_h, out_w)

@@ -97,7 +97,8 @@ def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
     def drain(item):
         nonlocal n_done
         pair_batch, out = item
-        flows = np.asarray(out)  # forces device completion
+        # (B, nop, H, W) planar device layout; repack per pair on the host
+        flows = np.moveaxis(np.asarray(out), 1, 3)  # forces device completion
         for k, (f1, _) in enumerate(pair_batch):
             fl = flows[k, top:top + h_org, left:left + w_org]
             name = os.path.splitext(os.path.basename(f1))[0] + ".flo"
@@ -120,7 +121,8 @@ def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
         if fn is None:
             full_h, full_w = int(im_a.shape[2]), int(im_a.shape[3])
             fn = lambda x, y: dis.dis_flow_batched(x, y, params, full_w,
-                                                   full_h)
+                                                   full_h,
+                                                   channels_last=False)
         out = fn(im_a, im_b)[:nb]
         pending.append((pair_batch, out))
         if len(pending) > 1:     # drain all but the in-flight batch
