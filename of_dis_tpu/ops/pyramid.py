@@ -37,18 +37,57 @@ def _lerp_matrix(n_out: int, n_in: int) -> np.ndarray:
     return m
 
 
-def _resize_mm(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Bilinear resize of (C, H, W) as two constant-matrix contractions.
+def _box_matrix(n_in: int, k: int) -> np.ndarray:
+    """(n_in/k, n_in) k-tap box-mean matrix (the product of log2(k)
+    successive x0.5 INTER_LINEAR halvings; entries 1/k are exact in bf16
+    for power-of-two k)."""
+    n_out = n_in // k
+    m = np.zeros((n_out, n_in), np.float32)
+    for j in range(k):
+        m[np.arange(n_out), np.arange(n_out) * k + j] = 1.0 / k
+    return m
 
-    out[c,i,j] = sum_{h,w} Mh[i,h] img[c,h,w] Mw[j,w], horizontal first —
-    cv::resize's evaluation order. Matmuls keep canonical layouts; the
-    strided-slice / 5-D-reshape formulations force XLA into full relayout
-    copies of every level (measured ~9ms per full-res Sintel batch)."""
+
+def _bf16_exact(m: np.ndarray) -> bool:
+    import ml_dtypes
+    return bool(np.all(m.astype(ml_dtypes.bfloat16).astype(np.float32) == m))
+
+
+def _contract(eq: str, img: jnp.ndarray, m: np.ndarray) -> jnp.ndarray:
+    """einsum(eq, img, m) with m a constant interpolation matrix. When m is
+    exactly bf16-representable, run as two bf16 MXU dots on a hi/lo split
+    of the image (f32 values reconstruct through the f32 accumulator);
+    ~8x the f32 matmul rate, which dominates the full-res pyramid
+    contraction."""
+    if _bf16_exact(m):
+        mb = jnp.asarray(m).astype(jnp.bfloat16)
+        hi = img.astype(jnp.bfloat16)
+        lo = (img - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jnp.einsum(eq, hi, mb,
+                           preferred_element_type=jnp.float32)
+                + jnp.einsum(eq, lo, mb,
+                             preferred_element_type=jnp.float32))
+    return jnp.einsum(eq, img, jnp.asarray(m), precision="highest")
+
+
+def _resize_mm(img: jnp.ndarray, out_h: int, out_w: int,
+               box: int = 0) -> jnp.ndarray:
+    """Resize (C, H, W) as two constant-matrix contractions.
+
+    box=k uses the k-tap box-mean matrices (== a chain of x0.5
+    INTER_LINEAR halvings); box=0 uses the bilinear cv::INTER_LINEAR
+    matrix. out[c,i,j] = sum_{h,w} Mh[i,h] img[c,h,w] Mw[j,w], horizontal
+    first — cv::resize's evaluation order. Matmuls keep canonical layouts;
+    the strided-slice / 5-D-reshape formulations force XLA into full
+    relayout copies of every level (measured ~9ms per full-res Sintel
+    batch)."""
     c, h, w = img.shape
-    mh = jnp.asarray(_lerp_matrix(out_h, h))
-    mw = jnp.asarray(_lerp_matrix(out_w, w))
-    t = jnp.einsum("chw,jw->chj", img, mw, precision="highest")
-    return jnp.einsum("chj,ih->cij", t, mh, precision="highest")
+    if box:
+        mh, mw = _box_matrix(h, box), _box_matrix(w, box)
+    else:
+        mh, mw = _lerp_matrix(out_h, h), _lerp_matrix(out_w, w)
+    t = _contract("chw,jw->chj", img, mw)
+    return _contract("chj,ih->cij", t, mh)
 
 
 def pad_to_divisible(img: jnp.ndarray, lv_f: int) -> jnp.ndarray:
@@ -126,9 +165,21 @@ def build_pyramid(img: jnp.ndarray, lv_f: int, pad: int, getgrad: bool = True,
     unused full-resolution Sobel + border pads would otherwise dominate the
     pyramid's memory and bandwidth.
     """
-    levels = [img]
-    for _ in range(lv_f):
-        levels.append(halve(levels[-1]))
+    c, h, w = img.shape
+    k = 2 ** lv_l
+    if lv_l > 0 and h % k == 0 and w % k == 0:
+        # jump straight to the first used level: a chain of x0.5 halvings
+        # is the 2^lv_l-tap box mean (identical up to f32 rounding), and
+        # the one-shot contraction skips the unused full-res intermediate
+        # levels entirely (the L0->L1 halve alone is ~40% of pyramid time)
+        levels = [img] + [None] * lv_l
+        levels[lv_l] = _resize_mm(img, h // k, w // k, box=k)
+        for _ in range(lv_f - lv_l):
+            levels.append(halve(levels[-1]))
+    else:
+        levels = [img]
+        for _ in range(lv_f):
+            levels.append(halve(levels[-1]))
     imgs, dxs, dys = [], [], []
     for lv in range(lv_f + 1):
         if lv < lv_l:

@@ -21,7 +21,9 @@ def test_halve_matches_cv_resize():
     img = _rand_img(64, 96)
     ours = np.asarray(pyramid.halve(jnp.asarray(img)))[0]
     ref = cv2.resize(img[0], None, fx=0.5, fy=0.5, interpolation=cv2.INTER_LINEAR)
-    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-4)
+    # the box-mean matrix is bf16-exact, so halve runs as hi/lo bf16 MXU
+    # dots: ~1e-5 relative of the 0..255 intensity scale
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=5e-3)
 
 
 def test_halve_matches_cv_resize_rgb():
@@ -29,7 +31,7 @@ def test_halve_matches_cv_resize_rgb():
     ours = np.asarray(pyramid.halve(jnp.asarray(img)))
     ref = cv2.resize(img.transpose(1, 2, 0), None, fx=0.5, fy=0.5,
                      interpolation=cv2.INTER_LINEAR).transpose(2, 0, 1)
-    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=5e-3)
 
 
 def test_sobel_matches_cv():
@@ -91,4 +93,5 @@ def test_resize_linear_matches_cv_upscale():
     img = _rand_img(16, 24, seed=6)
     ours = np.asarray(pyramid.resize_linear(jnp.asarray(img), 64, 96))[0]
     ref = cv2.resize(img[0], (96, 64), interpolation=cv2.INTER_LINEAR)
-    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-3)
+    # power-of-two upscale weights are bf16-exact -> hi/lo bf16 MXU path
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=5e-3)
