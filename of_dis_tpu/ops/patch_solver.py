@@ -361,7 +361,10 @@ def _shifted_planes_banded(im: jnp.ndarray, psz: int, hpb: int):
             c * hpb, wp) for s in range(w1)], axis=0)  # (W1*C*Hpb, Wp)
     hi = cat.astype(jnp.bfloat16)
     lo = (cat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    # hi|lo stacked along the contraction axis: with the one-hot duplicated
+    # to (2*Wp, N), hi@oh + lo@oh becomes ONE MXU dot with K=2*Wp — 3
+    # 128-deep K-passes instead of 2 dots x 2 passes
+    return jnp.concatenate([hi, lo], axis=1)           # (W1*C*Hpb, 2*Wp)
 
 
 def _gn_windows(psz: int, hp: int):
@@ -387,7 +390,7 @@ def _pick_gn_bb(b: int, w1: int, c: int, hpb: int, wp: int, d: int, n: int):
     return None
 
 
-def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs_hi, lhs_lo,
+def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                      tpl: PatchTemplates, p_init_t: jnp.ndarray,
                      pt_ref_t: jnp.ndarray, bb: int, hpb: int):
     """The whole per-level Gauss-Newton loop as one fused Pallas kernel.
@@ -397,10 +400,10 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs_hi, lhs_lo,
     `active` mask governs all state updates; the while's global any() exit
     is only a wall-clock shortcut). Everything stays in VMEM per program:
 
-      - one-hot column extraction runs as two bf16 MXU dots per pair per
-        iteration (the XLA path's t tensor, (B, w1*c*hp, N) f32 per
-        iteration, never touches HBM — it was the dominant HBM traffic of
-        the whole pipeline),
+      - one-hot column extraction runs as one bf16 MXU dot per pair per
+        iteration over K-stacked hi|lo planes (the XLA path's t tensor,
+        (B, w1*c*hp, N) f32 per iteration, never touches HBM — it was the
+        dominant HBM traffic of the whole pipeline),
       - row selection is two-stage: an 8-row-granular band select (nbands
         masked adds) followed by a 3-bit in-band roll align, instead of a
         dense one-hot reduce over all hp rows,
@@ -408,7 +411,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs_hi, lhs_lo,
         bounds/outlier resets, convergence predicate of patch.cpp:287-293)
         runs on (bb, D, N) blocks.
 
-    lhs_hi/lhs_lo: (B, w1*c*hpb, wp) bf16 banded planes; tpl fields
+    lhs: (B, w1*c*hpb, 2*wp) bf16 banded hi|lo planes; tpl fields
     (B, D, N); p_init_t (B, nop, N); pt_ref_t (1, 2, N).
     """
     from jax.experimental import pallas as pl
@@ -417,13 +420,14 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs_hi, lhs_lo,
     psz, pad, nop, c = params.p_samp_s, spec.pad, params.nop, params.noc
     w1 = psz + 1
     wb, _, nbands = _gn_windows(psz, spec.padded_height)
-    b, m_rows, wp = lhs_hi.shape
+    b, m_rows, wp2 = lhs.shape
+    wp = wp2 // 2
     d = tpl.tmpl.shape[1]
     n = tpl.tmpl.shape[2]
     nh = tpl.hes.shape[1]
     novals = float(params.novals)
 
-    def kernel(lh_ref, ll_ref, tm_ref, tx_ref, ty_ref, he_ref, p0_ref,
+    def kernel(lh_ref, tm_ref, tx_ref, ty_ref, he_ref, p0_ref,
                pr_ref, po_ref, pw_ref):
         tmpl = tm_ref[:]
         tdx = tx_ref[:]
@@ -452,12 +456,13 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs_hi, lhs_lo,
             ry = resid[:, 1]
             outs = []
             for k in range(bb):
-                cols = jax.lax.broadcasted_iota(jnp.int32, (wp, n), 0)
-                oh = (cols == sx[k][None, :]).astype(jnp.bfloat16)
-                t = (jnp.dot(lh_ref[k], oh,
-                             preferred_element_type=jnp.float32)
-                     + jnp.dot(ll_ref[k], oh,
-                               preferred_element_type=jnp.float32))
+                # two-hot over the K-stacked hi|lo planes: one MXU dot
+                # computes hi@oh + lo@oh
+                cols = jax.lax.broadcasted_iota(jnp.int32, (wp2, n), 0)
+                sxk = sx[k][None, :]
+                oh = ((cols == sxk) | (cols == sxk + wp)).astype(jnp.bfloat16)
+                t = jnp.dot(lh_ref[k], oh,
+                            preferred_element_type=jnp.float32)
                 t = t.reshape(w1 * c, hpb, n)
                 bi = jax.lax.shift_right_logical(sy[k], 3)
                 tb = jnp.zeros((w1 * c, wb, n), jnp.float32)
@@ -559,7 +564,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs_hi, lhs_lo,
         po_ref[:] = out[0]
         pw_ref[:] = out[2]
 
-    blk_lhs = pl.BlockSpec((bb, m_rows, wp), lambda i: (i, 0, 0),
+    blk_lhs = pl.BlockSpec((bb, m_rows, wp2), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     blk_d = pl.BlockSpec((bb, d, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -574,10 +579,10 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs_hi, lhs_lo,
         grid=(b // bb,),
         out_shape=(jax.ShapeDtypeStruct((b, nop, n), jnp.float32),
                    jax.ShapeDtypeStruct((b, d, n), jnp.float32)),
-        in_specs=[blk_lhs, blk_lhs, blk_d, blk_d, blk_d, blk_h, blk_p,
+        in_specs=[blk_lhs, blk_d, blk_d, blk_d, blk_h, blk_p,
                   blk_ptr],
         out_specs=(blk_p, blk_d),
-    )(lhs_hi, lhs_lo, tpl.tmpl, tpl.tdx, tpl.tdy, tpl.hes, p_init_t,
+    )(lhs, tpl.tmpl, tpl.tdx, tpl.tdy, tpl.hes, p_init_t,
       pt_ref_t)
     return p_out, pw_out
 
@@ -617,9 +622,9 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
         _, hpb, _ = _gn_windows(psz, hp)
         bb = _pick_gn_bb(b, psz + 1, noc, hpb, wp, psz * psz * noc, n)
         if bb is not None:
-            lhs_hi, lhs_lo = jax.vmap(
+            lhs = jax.vmap(
                 lambda x: _shifted_planes_banded(x, psz, hpb))(im_b)
-            p_fin, pw = _gn_fused_pallas(spec, params, lhs_hi, lhs_lo, tpl,
+            p_fin, pw = _gn_fused_pallas(spec, params, lhs, tpl,
                                          p_init_t, pt_ref_t, bb, hpb)
             return PatchResult(
                 p=jnp.swapaxes(p_fin, 1, 2),
