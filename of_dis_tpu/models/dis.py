@@ -156,6 +156,60 @@ def dis_flow(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
                           init)[0]
 
 
+def _upscale_cf_pallas(flow_cf: jnp.ndarray, out_h: int, out_w: int,
+                       scale: float):
+    """Batched bilinear upscale of planar flow (B, nop, h, w) ->
+    (B, nop, out_h, out_w) as one Pallas kernel, or None when no batch
+    block fits VMEM.
+
+    Both interpolation contractions (cv::INTER_LINEAR matrices; the value
+    scale 2^sc_l is folded into the vertical one) run on f32 MXU dots per
+    block and the full-resolution result is written directly in canonical
+    layout — the XLA einsum form materializes a full-size batch-minor
+    intermediate plus a relayout copy (~6.4ms per 384-pair Sintel batch,
+    vs the ~1.8ms HBM write floor)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, nop, h, w = flow_cf.shape
+    bb = None
+    for cand in (8, 4, 2, 1):
+        if b % cand == 0 and cand * nop * out_h * out_w * 4 < 8 * 1024 * 1024:
+            bb = cand
+            break
+    if bb is None:
+        return None
+    mv = jnp.asarray(pyramid._lerp_matrix(out_h, h) * scale)   # (out_h, h)
+    mw = jnp.asarray(pyramid._lerp_matrix(out_w, w).T)         # (w, out_w)
+
+    def kernel(in_ref, mv_ref, mw_ref, out_ref):
+        mv_ = mv_ref[:]
+        mw_ = mw_ref[:]
+        for k in range(bb):
+            for ch in range(nop):
+                t = jnp.dot(in_ref[k, ch], mw_,
+                            preferred_element_type=jnp.float32)
+                out_ref[k, ch] = jnp.dot(mv_, t,
+                                         preferred_element_type=jnp.float32)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        out_shape=jax.ShapeDtypeStruct((b, nop, out_h, out_w), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((bb, nop, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, nop, out_h, out_w),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(flow_cf, mv, mw)
+
+
 def upscale_output(flow: jnp.ndarray, sc_l: int, out_h: int, out_w: int
                    ) -> jnp.ndarray:
     """Final rescale of the last-scale flow to full resolution
@@ -192,9 +246,17 @@ def dis_flow_batched(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
     """
     flow = _dis_flow_core(im_a, im_b, params, full_w, full_h)
     sc = float(2 ** params.sc_l)
-    f = jnp.moveaxis(flow * sc, 3, 1)                   # (B, nop, h, w)
-    if params.sc_l != 0:
-        f = jax.vmap(lambda x: pyramid.resize_linear(x, full_h, full_w))(f)
+    if params.sc_l == 0:
+        f = jnp.moveaxis(flow, 3, 1)                    # (B, nop, h, w)
+    else:
+        f = None
+        if patch_solver._use_pallas_bilerp():
+            f = _upscale_cf_pallas(jnp.moveaxis(flow, 3, 1), full_h, full_w,
+                                   sc)
+        if f is None:
+            f = jnp.moveaxis(flow * sc, 3, 1)
+            f = jax.vmap(lambda x: pyramid.resize_linear(x, full_h,
+                                                         full_w))(f)
     if channels_last:
         return jnp.moveaxis(f, 1, 3)
     return f

@@ -84,3 +84,30 @@ def test_gn_fused_matches_xla_depth(monkeypatch, camlr):
                                rtol=0, atol=5e-4)
     np.testing.assert_allclose(np.asarray(got.pweight),
                                np.asarray(ref.pweight), rtol=0, atol=5e-3)
+
+
+def test_upscale_pallas_matches_xla(monkeypatch):
+    """The Pallas upscale kernel must match the XLA matmul-resize path."""
+    from jax.experimental import pallas as pl
+
+    import jax
+
+    from of_dis_tpu.models import dis
+    from of_dis_tpu.ops import pyramid as pyr
+
+    rng = np.random.default_rng(7)
+    flow_cf = jnp.asarray(rng.standard_normal((4, 2, 14, 32)) * 3,
+                          jnp.float32)
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw.setdefault("interpret", True)
+        return orig(*args, **kw)
+
+    with monkeypatch.context() as m:
+        m.setattr(pl, "pallas_call", patched)
+        got = dis._upscale_cf_pallas(flow_cf, 112, 256, 8.0)
+    assert got is not None
+    ref = jax.vmap(lambda x: pyr.resize_linear(x * 8.0, 112, 256))(flow_cf)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=2e-3)
