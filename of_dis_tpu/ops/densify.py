@@ -65,42 +65,54 @@ def _axis_slots(size: int, n_axis: int, off: int, steps: int, psz: int):
     return idx, offset, valid
 
 
+def _cover_matrix(size: int, n_axis: int, off: int, steps: int, psz: int
+                  ) -> np.ndarray:
+    """(size, psz*n_axis) static 0/1 matrix: row v has a 1 at column
+    offset*n_axis + idx for every grid slot covering output coordinate v
+    (see _axis_slots). Densification along one axis is a contraction
+    against this matrix."""
+    idx, offset, valid = _axis_slots(size, n_axis, off, steps, psz)
+    m = np.zeros((size, psz * n_axis), np.float32)
+    for a in range(idx.shape[1]):
+        rows = np.arange(size)[valid[:, a]]
+        m[rows, offset[valid[:, a], a] * n_axis + idx[valid[:, a], a]] = 1.0
+    return m
+
+
 def aggregate_flow_dense(spec: LevelSpec, params: DISParams, res: PatchResult,
                          compl_res: Optional[PatchResult] = None) -> jnp.ndarray:
     """Dense flow (H, W, nop) from per-patch results (patchgrid.cpp:213-397).
 
-    Forward path is scatter-free: the patch grid is regular, so each pixel
-    has a static set of covering patches (see _axis_slots) and densification
-    is K*K masked gathers + adds — the reference's OpenMP scatter (which
-    data-races, patchgrid.cpp:220-222) becomes a deterministic dense gather.
-    The backward (fbcon) merge splats at runtime-dependent converged
-    positions and keeps the scatter-add formulation.
+    Forward path is scatter-free AND gather-free: the patch grid is
+    regular, so pixel coverage is separable per axis — densification is
+    two contractions U @ T @ V against static 0/1 cover matrices
+    (see _cover_matrix), which run on the MXU. The reference's OpenMP
+    scatter (which data-races, patchgrid.cpp:220-222) becomes a
+    deterministic pair of matmuls. The backward (fbcon) merge splats at
+    runtime-dependent converged positions and keeps the scatter-add
+    formulation.
     """
     psz, nop = params.p_samp_s, params.nop
     hw = spec.height * spec.width
     h, w = spec.height, spec.width
-    noph = spec.noph
+    noph, nopw = spec.noph, spec.nopw
 
-    iy, oy, vy = _axis_slots(h, spec.noph, spec.offseth, spec.steps, psz)
-    ix, ox, vx = _axis_slots(w, spec.nopw, spec.offsetw, spec.steps, psz)
-    k = iy.shape[1]
+    u = jnp.asarray(_cover_matrix(h, noph, spec.offseth, spec.steps, psz))
+    v = jnp.asarray(_cover_matrix(w, nopw, spec.offsetw, spec.steps, psz))
 
     pixw = _pixel_weights(res.pweight)                  # (P,P,N)
-    we2 = jnp.zeros((h, w), jnp.float32)
-    flow2 = jnp.zeros((h, w, nop), jnp.float32)
-    for a in range(k):
-        iy_a = jnp.asarray(iy[:, a])[:, None]           # (H,1)
-        oy_a = jnp.asarray(oy[:, a])[:, None]
-        vy_a = jnp.asarray(vy[:, a])[:, None]
-        for b in range(k):
-            ix_b = jnp.asarray(ix[:, b])[None, :]       # (1,W)
-            ox_b = jnp.asarray(ox[:, b])[None, :]
-            vx_b = jnp.asarray(vx[:, b])[None, :]
-            pidx = ix_b * noph + iy_a                   # (H,W) patch index
-            wgt = pixw[oy_a, ox_b, pidx]                # (H,W) gather
-            wgt = jnp.where(vy_a & vx_b, wgt, 0.0)
-            we2 = we2 + wgt
-            flow2 = flow2 + wgt[:, :, None] * res.p[pidx]
+    # T[(oy,iy), (ox,ix)] = pixw[oy, ox, ix*noph+iy]
+    q4 = jnp.transpose(pixw.reshape(psz, psz, nopw, noph),
+                       (0, 3, 1, 2))                    # (P, noph, P, nopw)
+    q = q4.reshape(psz * noph, psz * nopw)
+    we2 = u @ q @ v.T                                   # (H, W)
+    p4 = res.p.reshape(nopw, noph, nop)                 # column-major order
+    chans = []
+    for ch in range(nop):
+        pch = p4[:, :, ch].T                            # (noph, nopw)
+        qf = (q4 * pch[None, :, None, :]).reshape(psz * noph, psz * nopw)
+        chans.append(u @ qf @ v.T)
+    flow2 = jnp.stack(chans, axis=-1)                   # (H, W, nop)
     we = we2.reshape(hw)
     flow = flow2.reshape(hw, nop)
 
