@@ -1,0 +1,87 @@
+"""Device-op profile of the full batched pipeline on TPU.
+
+Runs one 384-pair op-point-2 Sintel batch under jax.profiler, then parses
+the trace and prints (a) total device time, (b) per-op-category totals,
+(c) the biggest single HLO ops with their long names. This is how the
+pipeline's relayout copies / dense-matmul waste / kernel shares were found
+(see the bench history in git log).
+
+Usage: python tools/profile_pipeline.py [batch]
+"""
+
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+    from of_dis_tpu.models import dis
+    from of_dis_tpu.ops import pyramid
+    from of_dis_tpu.params import op_point_params
+
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 384
+    h_org, w_org = 436, 1024
+    params = op_point_params(w_org, 2, nop=2, noc=1, verbosity=0)
+    rng = np.random.default_rng(0)
+    base = rng.random((b, 1, h_org, w_org)).astype(np.float32) * 255.0
+    shift = np.roll(base, shift=(2, 3), axis=(2, 3))
+    im_a = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))(
+        jnp.asarray(base))
+    im_b = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))(
+        jnp.asarray(shift))
+    fn = lambda x, y: dis.dis_flow_batched(
+        x, y, params, im_a.shape[3], im_a.shape[2], channels_last=False)
+    out = fn(im_a, im_b)
+    float(np.asarray(out[0, 0, 0, 0]))   # compile + warm up
+
+    trace_dir = "/tmp/of_dis_tpu_trace"
+    os.makedirs(trace_dir, exist_ok=True)
+    with jax.profiler.trace(trace_dir):
+        out = fn(im_a, im_b)
+        float(np.asarray(out[0, 0, 0, 0]))
+
+    tr = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
+    with gzip.open(tr) as f:
+        data = json.load(f)
+    ev = [e for e in data["traceEvents"]
+          if e.get("ph") == "X" and isinstance(e.get("pid"), int)]
+    # device pid: the one whose process_name mentions TPU
+    pids = {e["pid"]: e["args"].get("name", "") for e in data["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = [p for p, name in pids.items() if "TPU" in name]
+    ev = [e for e in ev if e["pid"] in dev
+          and not e["name"].startswith("jit_dis_flow_batched")]
+    tot = sum(e["dur"] for e in ev)
+    print(f"device total: {tot/1e3:.2f} ms "
+          f"({tot/b:.1f} us/pair at batch {b})")
+    agg = collections.defaultdict(float)
+    cnt = collections.Counter()
+    for e in ev:
+        name = re.sub(r"[.\d]+$", "", e["name"])
+        agg[name] += e["dur"]
+        cnt[name] += 1
+    print("\nby op category:")
+    for name, d in sorted(agg.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"{d/1e3:9.2f} ms  x{cnt[name]:4d}  {name[:80]}")
+    print("\nbiggest single ops:")
+    for e in sorted(ev, key=lambda e: -e["dur"])[:12]:
+        ln = e.get("args", {}).get("long_name", "")[:130]
+        print(f"{e['dur']/1e3:8.2f} ms  {ln}")
+
+
+if __name__ == "__main__":
+    main()
