@@ -95,6 +95,7 @@ def test_batched_matches_single():
     # the batched path itself is deterministic
     fb2 = np.asarray(dis.dis_flow_batched(batch_a, batch_b, prm, w, h))
     np.testing.assert_array_equal(fb, fb2)
-    # the batched path itself is deterministic
-    fb2 = np.asarray(dis.dis_flow_batched(batch_a, batch_b, prm, w, h))
-    np.testing.assert_array_equal(fb, fb2)
+    # planar output is the same flow, channel-first
+    fcf = np.asarray(dis.dis_flow_batched(batch_a, batch_b, prm, w, h,
+                                          channels_last=False))
+    np.testing.assert_allclose(np.moveaxis(fcf, 1, 3), fb, rtol=0, atol=1e-6)
