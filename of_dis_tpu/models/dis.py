@@ -295,6 +295,33 @@ def dis_sequence(frames: jnp.ndarray, params: DISParams, full_w: int,
     return flows
 
 
+@partial(jax.jit, static_argnames=("params", "full_w", "full_h"))
+def dis_sequence_batched(frames: jnp.ndarray, params: DISParams, full_w: int,
+                         full_h: int) -> jnp.ndarray:
+    """Batched sequence mode: S video streams advance in lockstep, each
+    pair warm-started from its stream's previous flow (the throughput
+    configuration for video serving: per-step batch keeps the chip full
+    while the scan carries the warm starts).
+
+    frames: (T, S, C, H, W) divisibility-padded. Returns
+    (T-1, S, H, W, nop) full-resolution flow.
+    """
+    t, s = frames.shape[0], frames.shape[1]
+    k = 2 ** (params.sc_f + 1)
+    init = jnp.zeros((s, full_h // k, full_w // k, params.nop), jnp.float32)
+
+    def step(carry, pair):
+        a, b = pair
+        flow = _dis_flow_core(a, b, params, full_w, full_h, init_flow=carry)
+        full = jax.vmap(lambda f: upscale_output(f, params.sc_l, full_h,
+                                                 full_w))(flow)
+        nxt = jax.vmap(lambda f: warm_start_from_full(f, params.sc_f))(full)
+        return nxt, full
+
+    _, flows = jax.lax.scan(step, init, (frames[:-1], frames[1:]))
+    return flows
+
+
 def dis_flow_timed(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
                    full_w: int, full_h: int,
                    init_flow: Optional[jnp.ndarray] = None) -> jnp.ndarray:

@@ -73,6 +73,13 @@ def test_sequence_warm_start():
         inner = flows[t, 8:-8, 8:-8]
         err = np.hypot(inner[..., 0] - 1.5, inner[..., 1] - 0.5).mean()
         assert err < 0.5, (t, err)
+    # batched sequence mode: two identical streams reproduce the
+    # single-stream result
+    fb = np.asarray(dis.dis_sequence_batched(
+        jnp.stack([frames, frames], axis=1), prm, w, h))
+    assert fb.shape == (3, 2, h, w, 2)
+    np.testing.assert_allclose(fb[:, 0], flows, rtol=0, atol=1e-4)
+    np.testing.assert_array_equal(fb[:, 0], fb[:, 1])
 
 
 def test_init_flow_input():
