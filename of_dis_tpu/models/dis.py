@@ -173,8 +173,13 @@ def _upscale_cf_pallas(flow_cf: jnp.ndarray, out_h: int, out_w: int,
 
     b, nop, h, w = flow_cf.shape
     bb = None
+    # budget: output block (dominant), input block, both matrices, and the
+    # (h, out_w) per-dot intermediate; bb=2 at a full-res Sintel output
+    # (~7.5MB by this estimate) compiles and runs
+    fixed = (nop * h * w + out_h * h + w * out_w + h * out_w) * 4
     for cand in (8, 4, 2, 1):
-        if b % cand == 0 and cand * nop * out_h * out_w * 4 < 8 * 1024 * 1024:
+        per = cand * nop * out_h * out_w * 4 + cand * fixed
+        if b % cand == 0 and per < 8 * 1024 * 1024:
             bb = cand
             break
     if bb is None:
@@ -313,8 +318,15 @@ def dis_sequence_batched(frames: jnp.ndarray, params: DISParams, full_w: int,
     def step(carry, pair):
         a, b = pair
         flow = _dis_flow_core(a, b, params, full_w, full_h, init_flow=carry)
-        full = jax.vmap(lambda f: upscale_output(f, params.sc_l, full_h,
-                                                 full_w))(flow)
+        full = None
+        if params.sc_l != 0 and patch_solver._use_pallas_bilerp():
+            f = _upscale_cf_pallas(jnp.moveaxis(flow, 3, 1), full_h, full_w,
+                                   float(2 ** params.sc_l))
+            if f is not None:
+                full = jnp.moveaxis(f, 1, 3)
+        if full is None:
+            full = jax.vmap(lambda f: upscale_output(f, params.sc_l, full_h,
+                                                     full_w))(flow)
         nxt = jax.vmap(lambda f: warm_start_from_full(f, params.sc_f))(full)
         return nxt, full
 

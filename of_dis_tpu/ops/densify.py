@@ -105,13 +105,19 @@ def aggregate_flow_dense(spec: LevelSpec, params: DISParams, res: PatchResult,
     q4 = jnp.transpose(pixw.reshape(psz, psz, nopw, noph),
                        (0, 3, 1, 2))                    # (P, noph, P, nopw)
     q = q4.reshape(psz * noph, psz * nopw)
-    we2 = u @ q @ v.T                                   # (H, W)
+
+    def mm(a, bm):
+        # full f32: the default TPU matmul precision would truncate the
+        # weight maps to bf16 (the replaced gather-add loop was exact f32)
+        return jnp.matmul(a, bm, precision="highest")
+
+    we2 = mm(mm(u, q), v.T)                             # (H, W)
     p4 = res.p.reshape(nopw, noph, nop)                 # column-major order
     chans = []
     for ch in range(nop):
         pch = p4[:, :, ch].T                            # (noph, nopw)
         qf = (q4 * pch[None, :, None, :]).reshape(psz * noph, psz * nopw)
-        chans.append(u @ qf @ v.T)
+        chans.append(mm(mm(u, qf), v.T))
     flow2 = jnp.stack(chans, axis=-1)                   # (H, W, nop)
     we = we2.reshape(hw)
     flow = flow2.reshape(hw, nop)

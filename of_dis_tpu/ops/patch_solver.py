@@ -80,7 +80,10 @@ class PatchResult(NamedTuple):
     p: jnp.ndarray        # (N, nop) final displacement parameters
     pt: jnp.ndarray       # (N, 2) final patch position (pt_ref + displacement)
     pweight: jnp.ndarray  # (P, P, C, N) final absolute-error weights
-    iters: jnp.ndarray    # () iterations executed (diagnostic)
+    # () diagnostic only: the XLA path reports the while-loop trip count;
+    # the fused Pallas path runs a masked fixed-trip loop and reports
+    # max_iter (identical results either way — see _gn_fused_pallas)
+    iters: jnp.ndarray
 
 
 def grid_ref_points(spec: LevelSpec) -> jnp.ndarray:

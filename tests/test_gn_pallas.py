@@ -122,7 +122,7 @@ def test_gn_fused_nblocked_matches_xla(monkeypatch):
     spec = make_level_spec(0, w, h, prm)
     img_a, img_b = _make_pair(h, w)
     n = spec.nopatches
-    assert n % 64 != 0 or True
+    assert n % 64 != 0    # padding must actually be exercised (n=120)
     rng = np.random.default_rng(9)
     p_init = jnp.asarray(rng.standard_normal((n, 2)) * 1.5, jnp.float32)
     ref = _run(prm, spec, img_a, img_b, p_init, False, monkeypatch)

@@ -100,7 +100,11 @@ def main():
 
     timeit("full extract (dot+pallas bilerp)", full, im, pts)
     timeit("one-hot dot only", matmul_only, im, pts)
-    timeit("pallas bilerp only", bilerp_only, im, pts)
+    if ps._bilerp_block(B, w1, 1, hp, n) is not None:
+        timeit("pallas bilerp only", bilerp_only, im, pts)
+    else:
+        print("pallas bilerp only: skipped (t-slab over the VMEM budget "
+              "at this level; the pure path is used there)")
 
 
 if __name__ == "__main__":
