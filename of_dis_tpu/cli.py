@@ -76,6 +76,23 @@ def build_params(width_org, nop, noc, rest) -> DISParams:
         nop=nop, noc=noc)
 
 
+def load_init_flow(path, nop, pad_lv, full_h, full_w, sc_f):
+    """Warm-start flow ingestion (run_dense.cpp:356-379): read a full-res
+    .flo, replicate-pad to the padded full size, scale values by
+    2^(-lv_f-1), then cv::INTER_AREA resize — an exact box mean at this
+    integer factor (the padded dims divide 2^(lv_f+1) because main() pads
+    images to pad_lv = sc_f+1 when an init file is given,
+    run_dense.cpp:302)."""
+    f = io.read_flo(path)[:, :, :nop]
+    ft, fb, fl, fr = pad_amounts(f.shape[1], f.shape[0], pad_lv)
+    f = np.pad(f, ((ft, fb), (fl, fr), (0, 0)), mode="edge")
+    assert f.shape[:2] == (full_h, full_w), (f.shape, full_h, full_w)
+    k = 2 ** (sc_f + 1)
+    f = jnp.asarray((f * (1.0 / k)).transpose(2, 0, 1))
+    f = pyramid._resize_mm(f, full_h // k, full_w // k, box=k)
+    return f.transpose(1, 2, 0)
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     t0 = time.perf_counter()
@@ -96,11 +113,14 @@ def main(argv=None):
         params = dataclasses.replace(params, verbosity=0)
     verb = params.verbosity
 
-    # divisibility padding (run_dense.cpp:299-311)
-    a = pyramid.pad_to_divisible(jnp.asarray(img1), params.sc_f)
-    b = pyramid.pad_to_divisible(jnp.asarray(img2), params.sc_f)
+    # divisibility padding (run_dense.cpp:299-311); with an init-flow file the
+    # reference pads to 2^(lv_f+1) instead (run_dense.cpp:302) so the
+    # coarsest+1-scale warm-start grid divides evenly
+    pad_lv = params.sc_f + 1 if init_path is not None else params.sc_f
+    a = pyramid.pad_to_divisible(jnp.asarray(img1), pad_lv)
+    b = pyramid.pad_to_divisible(jnp.asarray(img2), pad_lv)
     full_h, full_w = a.shape[1], a.shape[2]
-    top, _, left, _ = pad_amounts(w_org, h_org, params.sc_f)
+    top, _, left, _ = pad_amounts(w_org, h_org, pad_lv)
 
     if verb > 1:
         print(f"TIME (Image loading     ) (ms): {(time.perf_counter()-t0)*1e3:3g}")
@@ -108,13 +128,8 @@ def main(argv=None):
 
     init_flow = None
     if init_path is not None:
-        # warm-start flow at the coarsest+1 scale (run_dense.cpp:356-379)
-        f = io.read_flo(init_path)[:, :, :nop]
-        sc = 2.0 ** (-params.sc_f - 1)
-        fh, fw = int(full_h * sc), int(full_w * sc)
-        f = pyramid.resize_linear(jnp.asarray((f * sc).transpose(2, 0, 1)),
-                                  fh, fw).transpose(1, 2, 0)
-        init_flow = f
+        init_flow = load_init_flow(init_path, nop, pad_lv, full_h, full_w,
+                                   params.sc_f)
 
     t_run = time.perf_counter()
     if verb > 1:

@@ -355,21 +355,33 @@ def dis_flow_timed(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
         import numpy as _np
         _np.asarray(np_val)
 
+    def clock():
+        return _time.perf_counter()
+
     pad = params.p_samp_s
+    t0 = clock()
     ims_a, dxs_a, dys_a = pyramid.build_pyramid(im_a, params.sc_f, pad,
                                                 lv_l=params.sc_l)
     ims_b, dxs_b, dys_b = pyramid.build_pyramid(im_b, params.sc_f, pad,
                                                 lv_l=params.sc_l)
     _sync(ims_a)
+    # reference: run_dense.cpp:347-353 (printed between pyramid build and
+    # the OFClass run)
+    print("TIME (Pyramide+Gradients) (ms): %3g" % ((clock() - t0) * 1e3))
 
-    def clock():
-        return _time.perf_counter()
+    # per-scale grid/spec setup, the analogue of OFClass's up-front
+    # PatGridClass allocation (oflow.cpp:139-178)
+    t0 = clock()
+    specs = {}
+    for sl in range(params.sc_f, params.sc_l - 1, -1):
+        specs[sl] = (make_level_spec(sl, full_w, full_h, params, camlr=0),
+                     make_level_spec(sl, full_w, full_h, params, camlr=1))
+    print("TIME (Grid Memo. Alloc. ) (ms): %3g" % ((clock() - t0) * 1e3))
 
     flow = None
     flow_bw = None
     for sl in range(params.sc_f, params.sc_l - 1, -1):
-        spec = make_level_spec(sl, full_w, full_h, params, camlr=0)
-        spec_bw = make_level_spec(sl, full_w, full_h, params, camlr=1)
+        spec, spec_bw = specs[sl]
         ia, dxa, dya = ims_a[sl], dxs_a[sl], dys_a[sl]
         ib, dxb, dyb = ims_b[sl], dxs_b[sl], dys_b[sl]
 

@@ -36,6 +36,13 @@ def _decode_batch(paths: Sequence[str], channels: int) -> np.ndarray:
         return np.stack([uio.load_image(p, channels) for p in paths])
 
 
+class _ProducerError:
+    """Queue sentinel carrying a decode exception from the producer thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
                  batch: int = 16, mode: str = "run_OF_INT",
                  verbose: bool = True) -> int:
@@ -81,9 +88,15 @@ def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
     q: Queue = Queue(maxsize=2)
 
     def producer():
-        for pb in batches:
-            q.put((pb, host_decode(pb)))
-        q.put(None)
+        # a decode failure must reach the consumer, not kill this thread
+        # silently (which would hang the main loop on q.get forever); the
+        # error rides the queue as a sentinel and re-raises at the consumer
+        try:
+            for pb in batches:
+                q.put((pb, host_decode(pb)))
+            q.put(None)
+        except BaseException as e:  # noqa: BLE001
+            q.put(_ProducerError(e))
 
     threading.Thread(target=producer, daemon=True).start()
 
@@ -109,6 +122,10 @@ def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
         item = q.get()
         if item is None:
             break
+        if isinstance(item, _ProducerError):
+            writer.shutdown(wait=True)
+            raise RuntimeError(
+                f"frame decode failed in {frame_dir}") from item.exc
         pair_batch, (a_np, b_np) = item
         nb = len(pair_batch)
         if nb < batch:  # ragged tail: pad to the compiled batch size

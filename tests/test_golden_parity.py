@@ -14,6 +14,13 @@ Golden generation (documented for regeneration): each binary was invoked as
   run_DE_RGB asc.png bsc.png de_rgb_op2.pfm 2
   run_OF_INT a.png b.png of_int_l1_fb.flo 3 1 12 12 0.05 0.95 0 8 0.4 1 1 1 1 10 10 5 1 3 1.6 0
   run_OF_INT a.png b.png of_int_huber_notv.flo 3 1 12 12 0.05 0.95 0 8 0.4 0 1 2 0 10 10 5 1 3 1.6 0
+  run_OF_INT a.png b.png of_int_op3.flo 3
+  run_OF_INT a.png b.png of_int_op4.flo 4
+  run_OF_RGB ac.png bc.png of_rgb_op3.flo 3
+  run_OF_GRD a.png b.png of_grd_op2.flo 2      # SELECTCHANNEL=2 build
+
+Binaries reproducible via tools/build_reference.sh (the rebuilt run_OF_INT
+regenerates of_int_op2.flo byte-identically).
 """
 
 import os
@@ -38,13 +45,32 @@ def _run(mode, img1, img2, out, args):
              + args)
 
 
-@pytest.mark.parametrize("op,budget", [(1, 1e-4), (2, 0.01)])
+@pytest.mark.parametrize("op,budget", [(1, 1e-4), (2, 0.01), (3, 0.01),
+                                       (4, 0.01)])
 def test_of_int_op_points(tmp_path, op, budget):
     out = str(tmp_path / "out.flo")
     _run("run_OF_INT", "a.png", "b.png", out, [str(op), "--quiet"])
     ratio = _epe_ratio(io.read_flo(out),
                        io.read_flo(os.path.join(G, f"of_int_op{op}.flo")))
     assert ratio < budget, ratio
+
+
+def test_of_rgb_op3(tmp_path):
+    out = str(tmp_path / "out.flo")
+    _run("run_OF_RGB", "ac.png", "bc.png", out, ["3", "--quiet"])
+    ratio = _epe_ratio(io.read_flo(out),
+                       io.read_flo(os.path.join(G, "of_rgb_op3.flo")))
+    assert ratio < 0.01, ratio
+
+
+def test_of_grd_op2(tmp_path):
+    """Gradient-magnitude input mode (SELECTCHANNEL=2, run_dense.cpp:139-148):
+    golden from the reference compiled with -DSELECTCHANNEL=2."""
+    out = str(tmp_path / "out.flo")
+    _run("run_OF_GRD", "a.png", "b.png", out, ["2", "--quiet"])
+    ratio = _epe_ratio(io.read_flo(out),
+                       io.read_flo(os.path.join(G, "of_grd_op2.flo")))
+    assert ratio < 0.01, ratio
 
 
 def test_of_rgb_op2(tmp_path):

@@ -109,3 +109,34 @@ def test_flow_to_color():
     assert img.shape == (4, 4, 3)
     # all pixels identical, saturated hue
     assert (img == img[0, 0]).all() and img[0, 0].min() < 200
+
+
+def test_init_flow_ingestion_box_mean(tmp_path):
+    """The --init-flow downscale is cv::INTER_AREA (box mean,
+    run_dense.cpp:376), not point-sampling: a checkerboard u-field must
+    average, and a non-divisible size must replicate-pad like the image
+    path (run_dense.cpp:302, 369-371)."""
+    import numpy as np
+    from of_dis_tpu import cli
+    from of_dis_tpu.ops import pyramid
+    from of_dis_tpu.utils import io as uio
+
+    h, w, sc_f = 101, 167, 2           # not divisible by 2^(sc_f+1)=8
+    flow = np.zeros((h, w, 2), np.float32)
+    flow[:, ::2, 0] = 10.0             # aliasing bait: point samples see 0/10
+    p = str(tmp_path / "init.flo")
+    uio.write_flo(p, flow)
+
+    pad_lv = sc_f + 1
+    import jax.numpy as jnp
+    padded = pyramid.pad_to_divisible(
+        jnp.asarray(np.zeros((1, h, w), np.float32)), pad_lv)
+    full_h, full_w = padded.shape[1], padded.shape[2]
+    got = np.asarray(cli.load_init_flow(p, 2, pad_lv, full_h, full_w, sc_f))
+    assert got.shape == (full_h // 8, full_w // 8, 2)
+    # value scale 1/8 then 8x8 box mean of the 0/10 columns: every output
+    # u is ~5/8 (edge columns replicate slightly off the interior mean)
+    interior = got[1:-1, 1:-1, 0]
+    assert np.all(np.abs(interior - 10.0 / 2 / 8) < 10.0 / 8 / 8 + 1e-5), (
+        interior.min(), interior.max())
+    assert np.allclose(got[..., 1], 0.0)

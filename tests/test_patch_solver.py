@@ -191,3 +191,40 @@ def test_chunked_extraction_matches_unchunked(monkeypatch):
                                rtol=0, atol=5e-4)
     np.testing.assert_allclose(np.asarray(got.pweight),
                                np.asarray(ref.pweight), rtol=0, atol=2e-2)
+
+
+def test_init_oob_patch_pinned_semantics():
+    """Pin the documented init-OOB deviation (patch_solver module docstring;
+    reference: patch.cpp:133-139): a patch whose *initial* position is fully
+    out of bounds must (a) keep p = p_init (no iterations run), (b) report
+    pdiff = template, and (c) report pweight = the cost-weight formula
+    applied to the template — NOT the reference's uninitialized buffer.
+    A refactor that drifts any of these breaks this test."""
+    h, w, psz = 40, 48, 8
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=12, min_iter=1, p_samp_s=psz,
+                    patove=0.4, costfct=0, noc=1, nop=2, usetvref=False)
+    spec = make_level_spec(0, w, h, prm)
+    img_a, img_b = _make_pair(h, w)
+    im_a, dx_a, dy_a, im_b = _level_data(img_a, img_b, psz)
+    tpl = patch_solver.extract_templates(spec, prm, jnp.asarray(im_a),
+                                         jnp.asarray(dx_a), jnp.asarray(dy_a))
+    n = spec.nopatches
+    # push patch 0 far out of bounds at init; leave the rest at zero
+    p_init = np.zeros((n, 2), np.float32)
+    p_init[0] = (1e4, 1e4)
+    res = patch_solver.optimize_level(spec, prm, jnp.asarray(im_b), tpl,
+                                      jnp.asarray(p_init))
+    # (a) parameters unchanged from init
+    np.testing.assert_allclose(np.asarray(res.p)[0], p_init[0])
+    # (c) pweight == cost-weight(template) for the L2 cost: w = |template|
+    tmpl0 = np.asarray(tpl.tmpl)[:, 0]
+    _, want_pw = patch_solver.loss_error_image(jnp.asarray(tmpl0)[:, None],
+                                               prm.costfct)
+    got_pw = np.asarray(res.pweight).reshape(psz * psz * 1, n)[:, 0]
+    np.testing.assert_allclose(got_pw, np.asarray(want_pw)[:, 0], rtol=1e-6)
+    # in-bounds patches are unaffected by the OOB one
+    p_init2 = np.zeros((n, 2), np.float32)
+    res2 = patch_solver.optimize_level(spec, prm, jnp.asarray(im_b), tpl,
+                                       jnp.asarray(p_init2))
+    np.testing.assert_allclose(np.asarray(res.p)[1:], np.asarray(res2.p)[1:],
+                               atol=1e-6)

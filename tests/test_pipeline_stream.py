@@ -38,3 +38,23 @@ def test_stream_pipeline(tmp_path):
         inner = fl[16:-16, 16:-16]
         med = np.median(inner.reshape(-1, 2), axis=0)
         assert abs(med[0] - 1.5) < 0.4 and abs(med[1] - 0.5) < 0.4, (t, med)
+
+
+def test_stream_pipeline_corrupt_frame(tmp_path):
+    """A truncated/corrupt frame must fail the run with a clear error, not
+    hang the consumer on a dead producer thread (the producer propagates
+    the exception through the queue)."""
+    frame_dir = tmp_path / "frames"
+    out_dir = tmp_path / "out"
+    frame_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for t in range(3):
+        img = (rng.random((64, 96)) * 255).astype(np.uint8)
+        cv2.imwrite(str(frame_dir / f"frame_{t:04d}.png"), img)
+    # truncate the middle frame to garbage
+    p = frame_dir / "frame_0001.png"
+    p.write_bytes(p.read_bytes()[:20])
+
+    with pytest.raises(RuntimeError, match="frame decode failed"):
+        pipeline.run_pipeline(str(frame_dir), str(out_dir), op_point=1,
+                              batch=2, verbose=False)
