@@ -354,6 +354,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _vmem_cap(default_bytes: int) -> int:
+    """Kernel VMEM-budget caps, scaled by OF_DIS_TPU_VMEM_SCALE (a float;
+    e.g. 1.5 on TPU generations with more than v5e's 16MB/core VMEM, <1 to
+    force smaller blocks). The defaults are empirically calibrated on v5e —
+    Mosaic keeps roughly 2x the naive live-set estimate."""
+    import os
+    scale = float(os.environ.get("OF_DIS_TPU_VMEM_SCALE", "1.0"))
+    return int(default_bytes * scale)
+
+
 def _shifted_planes_banded(im: jnp.ndarray, psz: int, hpb: int):
     """Column-shifted bf16 hi/lo planes for the fused GN kernel.
 
@@ -391,7 +401,7 @@ def _pick_gn_bb(b: int, w1: int, c: int, hpb: int, wp: int, d: int, n: int):
     per = (2 * w1 * c * hpb * wp * 2      # lhs hi/lo blocks (bf16)
            + 2 * w1 * c * hpb * n * 4    # t + shifted copies (transient)
            + 7 * d * n * 4)              # tmpl/tdx/tdy + carry + outputs
-    cap = 10 * 1024 * 1024
+    cap = _vmem_cap(10 * 1024 * 1024)
     for cand in (8, 4, 2, 1):
         if b % cand == 0 and cand * per < cap:
             return cand
@@ -406,7 +416,7 @@ def _pick_gn_nb(w1: int, c: int, hpb: int, wp: int, d: int, n: int):
     than _pick_gn_bb's: the plane block is fetched once per pair (its index
     ignores the patch-block grid axis) so it is not double-buffered
     (op-3 L1, estimated 11.4MB at nb=128, compiles and runs)."""
-    cap = 12 * 1024 * 1024 + 512 * 1024
+    cap = _vmem_cap(12 * 1024 * 1024 + 512 * 1024)
     planes = 2 * w1 * c * hpb * wp * 2
     if planes >= cap:
         return None
@@ -655,6 +665,418 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
     return p_out, pw_out
 
 
+class _TileGeom(NamedTuple):
+    """Static geometry of the tiled windowed GN kernel (see
+    _gn_tiled_pallas)."""
+    tx: int        # grid columns per tile
+    ty: int        # grid rows per tile
+    nb: int        # patches per tile (= tx*ty, lane width)
+    xb: int        # VMEM window width (128-aligned)
+    yb: int        # VMEM window height (8-aligned)
+    wbnd: int      # band window rows (stride-8 banding)
+    nbands: int    # bands per window
+    margin: int    # dynamic drift margin (ceil(outlierthresh)+2)
+    hppp: int      # padded plane rows in HBM (DMA bound)
+    wppp: int      # padded plane cols in HBM
+
+
+def _pick_tile_geom(spec: LevelSpec, params: DISParams):
+    """Choose the tile/window geometry for a level, or None when no
+    candidate fits the VMEM budget (then the caller falls back to the
+    unwindowed nb-blocked kernel / XLA path)."""
+    psz, noc = params.p_samp_s, params.noc
+    w1 = psz + 1
+    w1c = w1 * noc
+    d = psz * psz * noc
+    steps = spec.steps
+    wbnd = _round_up(psz + 1 + 7, 8)
+    margin = int(np.ceil(params.outlierthresh)) + 2
+    nb = 128
+    cap = _vmem_cap(6 * 1024 * 1024)
+    for tx, ty, xb, yb in ((16, 8, 256, 80), (16, 8, 256, 72),
+                           (32, 4, 256, 56), (32, 4, 384, 56),
+                           (64, 2, 384, 48), (128, 1, 512, 40)):
+        if tx * ty != nb:
+            continue
+        # static coverage: tile spread + drift margin + alignment waste
+        if (tx - 1) * steps + 2 * margin + 127 > xb - w1:
+            continue
+        if (ty - 1) * steps + 2 * margin + 7 > yb - wbnd + 7:
+            continue
+        nbands = (yb - wbnd) // 8 + 1
+        k = nbands * 2 * xb
+        est = (2 * w1c * yb * xb * 2          # win scratch (bf16)
+               + w1c * wbnd * k * 2           # banded lhs scratch
+               + k * nb * 2                   # one-hot (bf16)
+               + w1c * wbnd * nb * 4          # t2
+               + 2 * 3 * d * nb * 4           # blocked tmpl/tdx/tdy (x2 buf)
+               + 10 * d * nb * 4)             # carry + outputs + temps
+        if est > cap:
+            continue
+        # over-pad by one full window so the clip of xs/ys to
+        # [0, wppp-xb]/[0, hppp-yb] never forces a window that starts
+        # before the desired origin (small levels: plane barely taller
+        # than the window -> ys pinned at 0 -> band coverage short)
+        hppp = _round_up(spec.padded_height, 8) + yb
+        wppp = _round_up(spec.padded_width, 128) + xb
+        return _TileGeom(tx, ty, nb, xb, yb, wbnd, nbands, margin, hppp,
+                         wppp)
+    return None
+
+
+def _tile_perm(spec: LevelSpec, geom: _TileGeom):
+    """Static tiled patch ordering: tiles of tx grid-columns x ty grid-rows
+    over the (nopw, noph) grid, column-major within a tile. Returns
+    (perm, inv, T): perm (T*nb,) holds flat column-major patch ids (-1 for
+    ragged padding); inv (N,) maps column-major id -> tiled slot."""
+    nopw, noph = spec.nopw, spec.noph
+    tx, ty = geom.tx, geom.ty
+    ntx = -(-nopw // tx)
+    nty = -(-noph // ty)
+    slots = np.full((ntx * nty * tx * ty,), -1, np.int64)
+    i = 0
+    for gx in range(ntx):
+        for gy in range(nty):
+            for x in range(gx * tx, gx * tx + tx):
+                for y in range(gy * ty, gy * ty + ty):
+                    if x < nopw and y < noph:
+                        slots[i] = x * noph + y
+                    i += 1
+    inv = np.empty((nopw * noph,), np.int64)
+    inv[slots[slots >= 0]] = np.nonzero(slots >= 0)[0]
+    return slots, inv, ntx * nty
+
+
+def _tile_fwd(x: jnp.ndarray, spec: LevelSpec, geom: _TileGeom):
+    """Reorder the patch (lane) axis from column-major to tiled order as a
+    pad + reshape + transpose — pure relayout, no gather (a lane-axis
+    jnp.take costs ~10 cycles/element on TPU). x: (B, K, N) -> (B, K, Np)."""
+    b, k, _ = x.shape
+    nopw, noph = spec.nopw, spec.noph
+    tx, ty = geom.tx, geom.ty
+    ntx = -(-nopw // tx)
+    nty = -(-noph // ty)
+    y = x.reshape(b, k, nopw, noph)
+    y = jnp.pad(y, ((0, 0), (0, 0), (0, ntx * tx - nopw),
+                    (0, nty * ty - noph)))
+    y = y.reshape(b, k, ntx, tx, nty, ty)
+    y = jnp.transpose(y, (0, 1, 2, 4, 3, 5))
+    return y.reshape(b, k, ntx * nty * tx * ty)
+
+
+def _tile_inv(x: jnp.ndarray, spec: LevelSpec, geom: _TileGeom):
+    """Inverse of _tile_fwd: (B, K, Np) tiled order -> (B, K, N)."""
+    b, k, _ = x.shape
+    nopw, noph = spec.nopw, spec.noph
+    tx, ty = geom.tx, geom.ty
+    ntx = -(-nopw // tx)
+    nty = -(-noph // ty)
+    y = x.reshape(b, k, ntx, nty, tx, ty)
+    y = jnp.transpose(y, (0, 1, 2, 4, 3, 5))
+    y = y.reshape(b, k, ntx * tx, nty * ty)[:, :, :nopw, :noph]
+    return y.reshape(b, k, nopw * noph)
+
+
+def _build_planes5(im_b: jnp.ndarray, psz: int, noc: int, hppp: int,
+                   wppp: int) -> jnp.ndarray:
+    """(B, C, Hp, Wp) padded level images -> (B, 2, w1*C, hppp, wppp) bf16
+    hi/lo column-shifted planes, zero-padded to the DMA window bounds."""
+    b, c, hp, wp = im_b.shape
+    w1 = psz + 1
+    sh = jnp.stack([
+        jnp.pad(im_b[:, :, :, s:], ((0, 0), (0, 0), (0, 0), (0, s)))
+        for s in range(w1)], axis=1)                   # (B, w1, C, hp, wp)
+    sh = sh.reshape(b, w1 * c, hp, wp)
+    sh = jnp.pad(sh, ((0, 0), (0, 0), (0, hppp - hp), (0, wppp - wp)))
+    hi = sh.astype(jnp.bfloat16)
+    lo = (sh - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.stack([hi, lo], axis=1)                 # (B, 2, w1c, hppp, wppp)
+
+
+def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
+                     planes5, tpl_p: PatchTemplates, p_init_p, ptr_p,
+                     xs, ys):
+    """Windowed tiled Gauss-Newton kernel for large fine levels.
+
+    The unwindowed fused kernel's one-hot extraction does O(Wp * Hp) MXU +
+    VPU work per patch; at op-3/4 fine levels (Wp>500, N>12k) that caps
+    throughput far below the VMEM-window formulation. Here each program
+    handles one (pair, tile of tx*ty grid patches): it DMAs only the
+    (yb, xb) plane window the tile can touch (positions are confined to
+    ball(pt0, outlierthresh) by the reset rule, patch.cpp:196-206), builds
+    a stride-8 banded lhs in VMEM once, and runs the full GN loop with a
+    joint (band, hi/lo, x) one-hot dot of K = nbands*2*xb << 2*Wp.
+
+    planes5: (B, 2, w1c, hppp, wppp) bf16; tpl_p fields (B, D, Np) in
+    tiled patch order; p_init_p (B, nop, Np); ptr_p (1, 2, Np) with -1e6
+    at ragged-pad slots; xs/ys (B, T) int32 window origins (128/8-aligned).
+    Returns (p (B, nop, Np), pweight (B, D, Np)) in tiled order.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    psz, nop, noc = params.p_samp_s, params.nop, params.noc
+    w1 = psz + 1
+    w1c = w1 * noc
+    nb, xb, yb = geom.nb, geom.xb, geom.yb
+    wbnd, nbands = geom.wbnd, geom.nbands
+    kdim = nbands * 2 * xb
+    b = planes5.shape[0]
+    d = tpl_p.tmpl.shape[1]
+    n_pad = tpl_p.tmpl.shape[2]
+    t_tiles = n_pad // nb
+    nh = tpl_p.hes.shape[1]
+    novals = float(params.novals)
+
+    def kernel(xs_ref, ys_ref, planes_ref, tm_ref, tx_ref, ty_ref, he_ref,
+               p0_ref, pr_ref, po_ref, pw_ref, win, lhs, sem):
+        bi_ = pl.program_id(0)
+        ti_ = pl.program_id(1)
+        # alignment hints: Mosaic must prove the DMA offsets divide the
+        # (8, 128) tiling (the host-side window computation guarantees it)
+        xs0 = pl.multiple_of(xs_ref[bi_, ti_], 128)
+        ys0 = pl.multiple_of(ys_ref[bi_, ti_], 8)
+        dma = pltpu.make_async_copy(
+            planes_ref.at[bi_, :, :, pl.ds(ys0, yb), pl.ds(xs0, xb)],
+            win, sem)
+        dma.start()
+        dma.wait()
+        for band in range(nbands):
+            for h in range(2):
+                blk = win[h, :, 8 * band:8 * band + wbnd, :]
+                lhs[:, (band * 2 + h) * xb:(band * 2 + h + 1) * xb] = (
+                    blk.reshape(w1c * wbnd, xb))
+
+        tmpl = tm_ref[0]                    # (D, nb)
+        tdx = tx_ref[0]
+        tdy = ty_ref[0]
+        hes = he_ref[0][None]               # (1, nh, nb) for _solve_step
+        p_init = p0_ref[0]                  # (nop, nb)
+        ptr = pr_ref[0]                     # (2, nb)
+
+        def to_pt(p):
+            if nop == 2:
+                return ptr + p
+            return jnp.concatenate(
+                [ptr[0:1] + p, jnp.broadcast_to(ptr[1:2], p.shape)], axis=0)
+
+        def oob(pt):
+            return ((pt[0] < spec.tmp_lb) | (pt[1] < spec.tmp_lb)
+                    | (pt[0] > spec.tmp_ubw) | (pt[1] > spec.tmp_ubh))
+
+        colsx = jax.lax.broadcasted_iota(jnp.int32, (xb, nb), 0)
+        colsb = jax.lax.broadcasted_iota(jnp.int32, (nbands, nb), 0)
+
+        def extract(pt):
+            pos_c = jnp.ceil(pt + 1e-5).astype(jnp.int32)
+            resid = pt - jnp.floor(pt)
+            sx = pos_c[0] - psz // 2 - 1 + spec.pad - xs0   # (nb,)
+            sy = pos_c[1] - psz // 2 - 1 + spec.pad - ys0
+            rx = resid[0]
+            ry = resid[1]
+            band_i = jax.lax.shift_right_logical(sy, 3)
+            s3 = jnp.bitwise_and(sy, 7)
+            # joint (band, hi/lo, x) one-hot as a product of two small
+            # one-hots (both hi and lo planes carry the same x one-hot)
+            xh = (colsx == sx[None, :]).astype(jnp.bfloat16)
+            bh = (colsb == band_i[None, :]).astype(jnp.bfloat16)
+            oh = (bh[:, None, None, :]
+                  * xh[None, None, :, :])               # (nbands, 1, xb, nb)
+            oh = jnp.broadcast_to(oh, (nbands, 2, xb, nb))
+            t2 = jnp.dot(lhs[:], oh.reshape(kdim, nb),
+                         preferred_element_type=jnp.float32)
+            t3 = t2.reshape(w1c, wbnd, nb)
+            # in-band row alignment: a[:, j, :] = t3[:, s3 + j, :]
+            a = jnp.zeros((w1c, psz + 1, nb), jnp.float32)
+            for s in range(8):
+                m = (s3 == s)[None, None, :]
+                a = a + jnp.where(m, t3[:, s:s + psz + 1, :], 0.0)
+            rows = [a[:, j, :] for j in range(psz + 1)]
+            ryk = ry[None, :]
+            rxk = rx[None, None, :]
+            parts = []
+            for j in range(psz):
+                wyj = (1.0 - ryk) * rows[j] + ryk * rows[j + 1]
+                wyj = wyj.reshape(w1, noc, nb)
+                pxj = (1.0 - rxk) * wyj[:psz] + rxk * wyj[1:]
+                parts.append(pxj.reshape(psz * noc, nb))
+            return jnp.concatenate(parts, axis=0)       # (D, nb)
+
+        def compute_err(pt):
+            patch = extract(pt)
+            if params.patnorm > 0:
+                patch = patch - patch.mean(axis=0, keepdims=True)
+            pdiff, pweight = loss_error_image(patch - tmpl, params.costfct)
+            mares = jnp.sum(pweight, axis=0)            # (nb,)
+            return pdiff, pweight, mares / novals
+
+        pt0 = to_pt(p_init)
+        init_oob = oob(pt0)
+        pt0_safe = jnp.where(init_oob[None, :],
+                             jnp.broadcast_to(ptr, pt0.shape), pt0)
+        pdiff0, pweight0, mares0 = compute_err(pt0_safe)
+        _, tmpl_pw = loss_error_image(tmpl, params.costfct)
+        m0 = init_oob[None, :]
+        pdiff0 = jnp.where(m0, tmpl, pdiff0)
+        pweight0 = jnp.where(m0, tmpl_pw, pweight0)
+        active0 = ((~init_oob) & (params.max_iter > 0)
+                   & (mares0 > params.res_thresh))
+
+        def body(i, carry):
+            p, pdiff, pweight, active_f, mares, dpn_init = carry
+            active = active_f > 0.5
+            it1 = i + 1
+            rhs0 = jnp.sum(tdx * pdiff, axis=0)
+            if nop == 2:
+                rhs1 = jnp.sum(tdy * pdiff, axis=0)
+                rhs = jnp.stack([rhs0, rhs1], axis=0)
+            else:
+                rhs = rhs0[None, :]
+            dp = _solve_step(hes, rhs[None], nop)[0]
+            p_new = p - dp
+            if nop == 1:
+                if spec.camlr == 0:
+                    p_new = jnp.minimum(p_new, 0.0)
+                else:
+                    p_new = jnp.maximum(p_new, 0.0)
+            pt_new = to_pt(p_new)
+            moved = jnp.sqrt(jnp.sum((pt_new - pt0) ** 2, axis=0))
+            reset = (moved > params.outlierthresh) | oob(pt_new)
+            p_new = jnp.where(reset[None, :], p_init, p_new)
+            pt_new = to_pt(p_new)
+            pdiff_new, pweight_new, mares_new = compute_err(pt_new)
+            dp_sqnorm = jnp.sum(dp * dp, axis=0)
+            dpn_init_new = jnp.where(it1 == 1, dp_sqnorm, dpn_init)
+            keep = ((it1 < params.max_iter)
+                    & (mares_new > params.res_thresh)
+                    & ((it1 < params.min_iter)
+                       | (dp_sqnorm / dpn_init_new >= params.dp_thresh_sq))
+                    & ((it1 < params.min_iter)
+                       | (mares_new / mares <= params.dr_thresh)))
+            active_new = active & keep & (~reset)
+
+            def sel(new, old):
+                if new.ndim == 1:
+                    return jnp.where(active, new, old)
+                return jnp.where(active[None, :], new, old)
+
+            return (sel(p_new, p), sel(pdiff_new, pdiff),
+                    sel(pweight_new, pweight),
+                    (active & active_new).astype(jnp.float32),
+                    sel(mares_new, mares), sel(dpn_init_new, dpn_init))
+
+        carry0 = (p_init, pdiff0, pweight0, active0.astype(jnp.float32),
+                  mares0, jnp.full((nb,), 1e-10, jnp.float32))
+        out = jax.lax.fori_loop(0, params.max_iter, body, carry0)
+        po_ref[0] = out[0]
+        pw_ref[0] = out[2]
+
+    blk_d = pl.BlockSpec((1, d, nb), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    blk_h = pl.BlockSpec((1, nh, nb), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    blk_p = pl.BlockSpec((1, nop, nb), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    blk_ptr = pl.BlockSpec((1, 2, nb), lambda i, j: (0, 0, j),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, t_tiles),
+        out_shape=(jax.ShapeDtypeStruct((b, nop, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((b, d, n_pad), jnp.float32)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            blk_d, blk_d, blk_d, blk_h, blk_p, blk_ptr,
+        ],
+        out_specs=(blk_p, blk_d),
+        scratch_shapes=[
+            pltpu.VMEM((2, w1c, yb, xb), jnp.bfloat16),
+            pltpu.VMEM((w1c * wbnd, kdim), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(xs, ys, planes5, tpl_p.tmpl, tpl_p.tdx, tpl_p.tdy, tpl_p.hes,
+      p_init_p, ptr_p)
+
+
+def _tile_windows(spec: LevelSpec, params: DISParams, geom: _TileGeom,
+                  tpl: PatchTemplates, p_init_t, pt_ref_t, batch: int):
+    """Tiled-order operands + per-(pair, tile) window origins + the window
+    validity flag for _gn_tiled_pallas."""
+    psz, nop = params.p_samp_s, params.nop
+    w1 = psz + 1
+    b = batch
+    perm, _, t_tiles = _tile_perm(spec, geom)
+    pad_mask = jnp.asarray(perm < 0)
+    take = lambda x: _tile_fwd(x, spec, geom)
+    tpl_p = PatchTemplates(take(tpl.tmpl), take(tpl.tdx), take(tpl.tdy),
+                           take(tpl.hes))
+    p_init_p = take(p_init_t)
+    ptr_p = jnp.where(pad_mask[None, None, :], -1e6,
+                      take(pt_ref_t))                    # (1, 2, n_pad)
+
+    if nop == 2:
+        pt0 = ptr_p + p_init_p
+    else:
+        pt0 = jnp.concatenate(
+            [ptr_p[:, 0:1] + p_init_p,
+             jnp.broadcast_to(ptr_p[:, 1:2], p_init_p.shape)], axis=1)
+    oob0 = ((pt0[:, 0] < spec.tmp_lb) | (pt0[:, 1] < spec.tmp_lb)
+            | (pt0[:, 0] > spec.tmp_ubw) | (pt0[:, 1] > spec.tmp_ubh)
+            | pad_mask[None, :])                          # (B, n_pad)
+    pos_c = jnp.ceil(pt0 + 1e-5).astype(jnp.int32)
+    sx0 = pos_c[:, 0] - psz // 2 - 1 + spec.pad
+    sy0 = pos_c[:, 1] - psz // 2 - 1 + spec.pad
+    big = jnp.int32(1 << 24)
+    mo = geom.margin
+
+    def mima(v):
+        lo = jnp.where(oob0, big, v).reshape(b, t_tiles, geom.nb).min(-1)
+        hi = jnp.where(oob0, -big, v).reshape(b, t_tiles, geom.nb).max(-1)
+        return lo, hi
+
+    sxm, sxM = mima(sx0)
+    sym, syM = mima(sy0)
+    xs = jnp.clip(jnp.floor_divide(sxm - mo, 128) * 128, 0,
+                  geom.wppp - geom.xb).astype(jnp.int32)
+    ys = jnp.clip(jnp.floor_divide(sym - mo, 8) * 8, 0,
+                  geom.hppp - geom.yb).astype(jnp.int32)
+    # coverage: every reachable column/row either inside the window or
+    # off-plane on the same side (where the true extraction reads zeros too)
+    empty = sxm > sxM   # tile fully init-oob/padding: window content unused
+    ok_x = ((xs <= jnp.maximum(sxm - mo, 0))
+            & (sxM + mo + w1 <= xs + geom.xb)) | empty
+    ok_y = ((ys <= jnp.maximum(sym - mo, 0))
+            & (syM + mo <= ys + geom.yb - geom.wbnd + 7)) | empty
+    valid = jnp.all(ok_x & ok_y)
+    return tpl_p, p_init_p, ptr_p, xs, ys, valid
+
+
+def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
+                    im_b, tpl: PatchTemplates, p_init_t, pt_ref_t):
+    """Tiled windowed GN with runtime validity check: when any tile's
+    positions exceed its static window (wild coarser flow), fall back to
+    the exact unwindowed XLA path via lax.cond. Returns (p, pweight, iters)
+    as (B, nop, N), (B, D, N), () in column-major patch order."""
+    psz, noc = params.p_samp_s, params.noc
+    tpl_p, p_init_p, ptr_p, xs, ys, valid = _tile_windows(
+        spec, params, geom, tpl, p_init_t, pt_ref_t, im_b.shape[0])
+
+    def tiled(_):
+        planes5 = _build_planes5(im_b, psz, noc, geom.hppp, geom.wppp)
+        p_fin, pw = _gn_tiled_pallas(spec, params, geom, planes5, tpl_p,
+                                     p_init_p, ptr_p, xs, ys)
+        return (_tile_inv(p_fin, spec, geom),
+                _tile_inv(pw, spec, geom),
+                jnp.asarray(params.max_iter, jnp.int32))
+
+    def fallback(_):
+        return _gn_xla_path(spec, params, im_b, tpl, p_init_t, pt_ref_t)
+
+    return jax.lax.cond(valid, tiled, fallback, operand=None)
+
+
 @partial(jax.jit, static_argnames=("spec", "params"))
 def optimize_level_batched(spec: LevelSpec, params: DISParams,
                            im_b: jnp.ndarray, tpl: PatchTemplates,
@@ -692,9 +1114,23 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
         bb = _pick_gn_bb(b, psz + 1, noc, hpb, wp, d, n)
         nb = 0
         if bb is None:
-            # large op-3/4 levels: one pair's full patch set busts VMEM —
-            # block the patch (lane) axis instead, padding N with far-oob
-            # sentinel patches (init-oob -> inactive -> zero outputs)
+            # large op-3/4 levels: one pair's full patch set busts VMEM.
+            # Preferred: the tiled windowed kernel (VMEM plane windows per
+            # 2-D patch tile — O(window) instead of O(Wp*Hp) work per
+            # patch), with a runtime fall back to the XLA path when a
+            # tile's coarser-flow spread exceeds its static window.
+            geom = _pick_tile_geom(spec, params)
+            if geom is not None:
+                p_fin, pw, iters = _optimize_tiled(spec, params, geom,
+                                                   im_b, tpl, p_init_t,
+                                                   pt_ref_t)
+                return PatchResult(
+                    p=jnp.swapaxes(p_fin, 1, 2),
+                    pt=jnp.swapaxes(to_pt(p_fin), 1, 2),
+                    pweight=pw.reshape(b, psz, psz, noc, n),
+                    iters=iters)
+            # legacy unwindowed patch-blocking (e.g. RGB fine levels where
+            # the tiled geometry does not fit VMEM)
             nb = _pick_gn_nb(psz + 1, noc, hpb, wp, d, n)
             if nb is not None:
                 bb = 1
@@ -728,6 +1164,32 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
                 pt=jnp.swapaxes(to_pt(p_fin), 1, 2),
                 pweight=pw.reshape(b, psz, psz, noc, n),
                 iters=jnp.asarray(params.max_iter, jnp.int32))
+
+    p_fin, pw, iters = _gn_xla_path(spec, params, im_b, tpl, p_init_t,
+                                    pt_ref_t)
+    return PatchResult(p=jnp.swapaxes(p_fin, 1, 2),
+                       pt=jnp.swapaxes(to_pt(p_fin), 1, 2),
+                       pweight=pw.reshape(b, psz, psz, noc, n),
+                       iters=iters)
+
+
+def _gn_xla_path(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
+                 tpl: PatchTemplates, p_init_t: jnp.ndarray,
+                 pt_ref_t: jnp.ndarray):
+    """Pure-XLA while-loop Gauss-Newton (the reference semantics without
+    Pallas): returns (p (B, nop, N), pweight (B, D, N), iters)."""
+    psz, pad, nop = params.p_samp_s, spec.pad, params.nop
+    noc = params.noc
+    novals = float(params.novals)
+    n = tpl.tmpl.shape[2]
+    b = im_b.shape[0]
+    hp, wp = im_b.shape[2], im_b.shape[3]
+    use_pallas = _use_pallas_bilerp()
+
+    def to_pt(p):
+        if nop == 2:
+            return pt_ref_t + p
+        return pt_ref_t + jnp.concatenate([p, jnp.zeros_like(p)], axis=1)
 
     lhs_hi, lhs_lo = jax.vmap(lambda x: _shifted_planes(x, psz))(im_b)
 
@@ -842,11 +1304,7 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    p = final["p"]
-    return PatchResult(p=jnp.swapaxes(p, 1, 2),
-                       pt=jnp.swapaxes(to_pt(p), 1, 2),
-                       pweight=final["pweight"].reshape(b, psz, psz, noc, n),
-                       iters=final["it"])
+    return final["p"], final["pweight"], final["it"]
 
 
 def optimize_level(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,

@@ -1,0 +1,135 @@
+"""The tiled windowed GN kernel must match the pure-XLA while-loop path.
+
+The tiled kernel (patch_solver._gn_tiled_pallas) serves the large op-3/4
+fine levels: per-(pair, 2-D patch tile) VMEM plane windows instead of
+whole-plane one-hot dots. On CPU it runs in Pallas interpret mode; the
+real-TPU Mosaic lowering is covered by tools/smoke_tpu.py and the bench.
+
+Also covers the runtime fallback: a coarser flow whose spread exceeds the
+static window must take the lax.cond XLA branch and still be exact.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from of_dis_tpu.ops import patch_solver
+from of_dis_tpu.params import DISParams, make_level_spec
+from tests.test_patch_solver import _level_data, _make_pair
+
+H, W = 60, 120   # steps=4 at psz=8/patove=0.4 -> 30x15 grid, ragged tiles
+
+
+def _run(prm, spec, im_b, tpl, p_init, mode, monkeypatch):
+    """mode: 'tiled' (force the tiled kernel, interpret), 'xla'."""
+    tpl_b = patch_solver.PatchTemplates(*(f[None] for f in tpl))
+    with monkeypatch.context() as m:
+        if mode == "tiled":
+            from jax.experimental import pallas as pl
+            orig = pl.pallas_call
+
+            def patched(*args, **kw):
+                kw.setdefault("interpret", True)
+                return orig(*args, **kw)
+
+            m.setattr(pl, "pallas_call", patched)
+            m.setattr(patch_solver, "_use_pallas_bilerp", lambda: True)
+            # force the big-level branch on this small test level
+            m.setattr(patch_solver, "_pick_gn_bb", lambda *a: None)
+            assert patch_solver._pick_tile_geom(spec, prm) is not None
+        else:
+            m.setattr(patch_solver, "_use_pallas_bilerp", lambda: False)
+        res = patch_solver.optimize_level_batched.__wrapped__(
+            spec, prm, jnp.asarray(im_b)[None], tpl_b, p_init[None])
+    return res
+
+
+def _setup(noc=1, nop=2, costfct=0, patnorm=1, seed=0):
+    psz = 8
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=8, min_iter=8, p_samp_s=psz,
+                    patove=0.4, costfct=costfct, patnorm=patnorm, noc=noc,
+                    nop=nop, usetvref=False)
+    spec = make_level_spec(0, W, H, prm)
+    img_a, img_b = _make_pair(H, W, c=noc, seed=seed)
+    im_a, dx_a, dy_a, im_b = _level_data(img_a, img_b, psz)
+    tpl = patch_solver.extract_templates(spec, prm, jnp.asarray(im_a),
+                                         jnp.asarray(dx_a),
+                                         jnp.asarray(dy_a))
+    return prm, spec, im_b, tpl
+
+
+@pytest.mark.parametrize("noc,nop,costfct,patnorm",
+                         [(1, 2, 0, 1), (1, 2, 1, 1), (1, 1, 0, 1),
+                          (1, 2, 2, 0)])
+def test_tiled_matches_xla(monkeypatch, noc, nop, costfct, patnorm):
+    prm, spec, im_b, tpl = _setup(noc, nop, costfct, patnorm)
+    n = spec.nopatches
+    rng = np.random.default_rng(1)
+    # smooth-ish init flow with moderate values (windows must fit)
+    p_init = jnp.asarray(rng.normal(0, 1.5, (n, nop)).astype(np.float32))
+    want = _run(prm, spec, im_b, tpl, p_init, "xla", monkeypatch)
+    got = _run(prm, spec, im_b, tpl, p_init, "tiled", monkeypatch)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.pweight),
+                               np.asarray(want.pweight),
+                               rtol=1e-3, atol=5e-2)
+
+
+def test_tiled_fallback_on_wild_flow(monkeypatch):
+    """Per-tile window validity: a huge-spread init flow exceeds any static
+    window, so the lax.cond fallback (exact XLA path) must produce the
+    result."""
+    prm, spec, im_b, tpl = _setup()
+    n = spec.nopatches
+    rng = np.random.default_rng(2)
+    p_init = jnp.asarray(rng.uniform(-60, 60, (n, 2)).astype(np.float32))
+    want = _run(prm, spec, im_b, tpl, p_init, "xla", monkeypatch)
+    got = _run(prm, spec, im_b, tpl, p_init, "tiled", monkeypatch)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_init_oob_patches(monkeypatch):
+    """Init-OOB patches inside the tiled kernel keep p = p_init and the
+    documented template pweight; in-bounds patches are unaffected."""
+    prm, spec, im_b, tpl = _setup()
+    n = spec.nopatches
+    p_init = np.zeros((n, 2), np.float32)
+    p_init[0] = (1e4, 1e4)       # far out of bounds
+    want = _run(prm, spec, im_b, tpl, jnp.asarray(p_init), "xla",
+                monkeypatch)
+    got = _run(prm, spec, im_b, tpl, jnp.asarray(p_init), "tiled",
+               monkeypatch)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.pweight[0, ..., 0]),
+                               np.asarray(want.pweight[0, ..., 0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_window_validity_smooth_flow_op3_geometry():
+    """A smooth, small-magnitude coarser flow must produce valid windows at
+    the real op-3 level geometries (valid=False would silently run the slow
+    fallback on every frame — the bug that shipped 18 pairs/s)."""
+    from of_dis_tpu.params import op_point_params
+    prm = op_point_params(1024, 3, nop=2, noc=1)
+    for sl in (3, 2, 1):
+        spec = make_level_spec(sl, 1024, 448, prm, camlr=0)
+        geom = patch_solver._pick_tile_geom(spec, prm)
+        assert geom is not None, sl
+        n = spec.nopatches
+        rng = np.random.default_rng(0)
+        p_init = np.stack([np.full(n, 3.0 / 2 ** sl),
+                           np.full(n, 2.0 / 2 ** sl)], 1).astype(np.float32)
+        p_init += rng.normal(0, 0.5, (n, 2)).astype(np.float32)
+        d = prm.p_samp_s ** 2
+        tpl = patch_solver.PatchTemplates(
+            jnp.zeros((1, d, n)), jnp.zeros((1, d, n)), jnp.zeros((1, d, n)),
+            jnp.ones((1, 3, n)))
+        ptr = patch_solver.grid_ref_points(spec).T[None]
+        *_, valid = patch_solver._tile_windows(
+            spec, prm, geom, tpl, jnp.swapaxes(jnp.asarray(p_init), 0, 1)[None],
+            ptr, 1)
+        assert bool(valid), sl

@@ -1,0 +1,71 @@
+"""Quick throughput check for any op-point on the real TPU.
+
+Usage: python tools/bench_op.py [op_point] [batch] [iters]
+Prints pairs/s (checksum-synchronized, one host fetch at the end).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+    from of_dis_tpu.models import dis
+    from of_dis_tpu.ops import pyramid
+    from of_dis_tpu.params import op_point_params
+
+    op = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    h_org, w_org = 436, 1024
+    params = op_point_params(w_org, op, nop=2, noc=1, verbosity=0)
+    rng = np.random.default_rng(0)
+    base = rng.random((b, 1, h_org, w_org)).astype(np.float32) * 255.0
+    try:
+        import cv2
+        base = np.stack([[cv2.GaussianBlur(im[0], (7, 7), 2.0)]
+                         for im in base])
+    except ImportError:
+        pass
+    shift = np.roll(base, shift=(2, 3), axis=(2, 3))
+    pad = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))
+    im_a = pad(jnp.asarray(base))
+    im_b = pad(jnp.asarray(shift))
+    fw, fh = int(im_a.shape[3]), int(im_a.shape[2])
+
+    @jax.jit
+    def step(a, bb, acc):
+        out = dis.dis_flow_batched(a, bb, params, fw, fh,
+                                   channels_last=False)
+        return acc + jnp.sum(out[:, :, ::64, ::64])
+
+    t0 = time.perf_counter()
+    acc = step(im_a, im_b, jnp.float32(0))
+    float(np.asarray(acc))
+    t_compile = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    acc = jnp.float32(0)
+    for _ in range(iters):
+        acc = step(im_a, im_b, acc)
+    float(np.asarray(acc))
+    dt = time.perf_counter() - t0
+    pairs = b * iters / dt
+    print(f"op{op} b={b} iters={iters}: {pairs:.1f} pairs/s "
+          f"({dt / iters * 1e3:.1f} ms/batch, compile+warm {t_compile:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,7 @@ the trace and prints (a) total device time, (b) per-op-category totals,
 pipeline's relayout copies / dense-matmul waste / kernel shares were found
 (see the bench history in git log).
 
-Usage: python tools/profile_pipeline.py [batch]
+Usage: python tools/profile_pipeline.py [batch] [op_point]
 """
 
 import collections
@@ -34,8 +34,9 @@ def main():
     from of_dis_tpu.params import op_point_params
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 384
+    op = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     h_org, w_org = 436, 1024
-    params = op_point_params(w_org, 2, nop=2, noc=1, verbosity=0)
+    params = op_point_params(w_org, op, nop=2, noc=1, verbosity=0)
     rng = np.random.default_rng(0)
     base = rng.random((b, 1, h_org, w_org)).astype(np.float32) * 255.0
     shift = np.roll(base, shift=(2, 3), axis=(2, 3))
