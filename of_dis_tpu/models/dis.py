@@ -31,6 +31,37 @@ from of_dis_tpu.ops import densify, patch_solver, pyramid, tv
 from of_dis_tpu.params import DISParams, make_level_spec
 
 
+# Spatial (row-sharded) TV routing: when a mesh is registered here and a
+# level's TV working set exceeds min_bytes, _tv_refine dispatches to
+# parallel.spatial.tv_refine_spatial (frames too large for one chip —
+# SURVEY.md §5 long-context analogue). Off by default: single-chip runs
+# never pay for the shard_map.
+_SPATIAL_TV = {"mesh": None, "min_bytes": None, "axis_name": "rows"}
+_TV_FIELDS = 26   # ~fields of (H, W) f32 live per pair in the TV loop
+
+
+def set_spatial_tv_mesh(mesh, min_bytes: Optional[int] = None,
+                        axis_name: str = "rows") -> None:
+    """Register (or clear, with mesh=None) a 1-D device mesh for row-sharded
+    TV refinement of levels whose working set exceeds min_bytes (default
+    ~one v5e chip's comfortable share: 4 GB)."""
+    _SPATIAL_TV["mesh"] = mesh
+    _SPATIAL_TV["min_bytes"] = (4 << 30) if min_bytes is None else min_bytes
+    _SPATIAL_TV["axis_name"] = axis_name
+
+
+def _spatial_tv_route(b: int, h: int, w: int, nop: int):
+    """The registered mesh, if this level should be row-sharded over it."""
+    mesh = _SPATIAL_TV["mesh"]
+    if mesh is None or nop != 2:
+        return None
+    if b * _TV_FIELDS * h * w * 4 < _SPATIAL_TV["min_bytes"]:
+        return None
+    if h % mesh.shape[_SPATIAL_TV["axis_name"]] != 0:
+        return None
+    return mesh
+
+
 def _tv_refine(flow: jnp.ndarray, im_a, im_b, spec, params: DISParams,
                camlr: int) -> jnp.ndarray:
     """Batched variational refinement of one scale's dense flow (VarRefClass,
@@ -46,6 +77,16 @@ def _tv_refine(flow: jnp.ndarray, im_a, im_b, spec, params: DISParams,
     kw = dict(alpha=params.tv_alpha, gamma=params.tv_gamma,
               delta=params.tv_delta, n_inner=n_inner,
               n_solver=params.tv_solverit, omega=params.tv_sor)
+    mesh = _spatial_tv_route(flow.shape[0], im1.shape[2], im1.shape[3],
+                             params.nop)
+    if mesh is not None:
+        from of_dis_tpu.parallel import spatial
+
+        outs = [spatial.tv_refine_spatial(
+            mesh, flow[k], im1[k], im2[k],
+            axis_name=_SPATIAL_TV["axis_name"], **kw)
+            for k in range(flow.shape[0])]
+        return jnp.stack(outs, axis=0)
     if params.nop == 2:
         wx, wy = tv.ref_level_of_batched(flow[..., 0], flow[..., 1],
                                          im1, im2, **kw)

@@ -693,7 +693,10 @@ def _pick_tile_geom(spec: LevelSpec, params: DISParams):
     margin = int(np.ceil(params.outlierthresh)) + 2
     nb = 128
     cap = _vmem_cap(6 * 1024 * 1024)
-    for tx, ty, xb, yb in ((16, 8, 256, 80), (16, 8, 256, 72),
+    # ordered by K = nbands*2*xb (the extraction dot's contraction size):
+    # yb=72 leaves 11px of within-tile flow-spread tolerance in y — enough
+    # for coarse-to-fine flows — at one band less than yb=80
+    for tx, ty, xb, yb in ((16, 8, 256, 72), (16, 8, 256, 80),
                            (32, 4, 256, 56), (32, 4, 384, 56),
                            (64, 2, 384, 48), (128, 1, 512, 40)):
         if tx * ty != nb:

@@ -139,9 +139,13 @@ def _warp_coeffs_pallas(wx: jnp.ndarray, wy: jnp.ndarray, bb: int):
 
 
 # HBM budget for the one-hot interpolation operands of the MXU warp (the
-# A matrices plus the x-interpolated Z tensor). Levels whose operands exceed
-# it fall back to the packed-gather warp.
-_MXU_WARP_BUDGET = 3 * 1024 ** 3
+# A matrices plus the x-interpolated Z tensor). Levels above it use the
+# banded shifted-slab warp (warp_image_banded) with a gather fallback.
+# Env-tunable for other TPU generations / memory configurations.
+import os as _os
+
+_MXU_WARP_BUDGET = int(float(_os.environ.get("OF_DIS_TPU_MXU_WARP_GB", "3"))
+                       * 1024 ** 3)
 
 
 def _use_mxu_warp(b: int, c: int, h: int, w: int, horiz_only: bool) -> bool:
@@ -200,19 +204,92 @@ def warp_image_mxu_h(src: jnp.ndarray, coeffs):
     return out, mask
 
 
+_BANDED_WARP_R = 16   # displacement band: valid when |floor(w)| <= R
+
+
+def _banded_warp_valid(wx, wy, r, horiz_only=False):
+    """True when every displacement's integer part lies in the band
+    (shift offsets k-(r+1) span [-(r+1), r]; floor in [-r, r-2] leaves a
+    one-step margin on both sides)."""
+    x0 = jnp.floor(wx)
+    ok = (x0 >= -r) & (x0 <= r - 2)
+    if not horiz_only:
+        y0 = jnp.floor(wy)
+        ok &= (y0 >= -r) & (y0 <= r - 2)
+    return jnp.all(ok)
+
+
+def warp_image_banded(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
+                      r: int = _BANDED_WARP_R, horiz_only: bool = False):
+    """Gather-free banded bilinear backward warp for large levels.
+
+    XLA:TPU gathers cost ~10 cycles/element (11.6 ms per corner at op-3 L1,
+    batch 8) and the MXU one-hot warp's operands grow O(W^2 + H^2) per
+    pixel. When displacements are banded (|floor(w)| <= r — true after
+    coarse-to-fine init for every real flow; the caller cond-falls-back
+    otherwise), the warp is a (2r+2)x(2r+2) shifted-slab weighted sum:
+
+        out = sum_k wy_k * sum_j wx_j * shift(src, k-r, j-r)
+
+    where wx_j/wy_k are the per-pixel bilinear weights selecting the <=2
+    nonzero shifts of each axis. Pure elementwise XLA: ~0.3 ms/pair at
+    op-3 L1 vs 5.8 ms/pair of gathers. Edge-replicated padding reproduces
+    the reference's clamped-index borders (opticalflow_aux.c:43-54) for
+    in-band displacements. src (B,C,H,W); wx/wy (B,H,W).
+    """
+    b, c, h, w = src.shape
+    nsh = 2 * r + 2
+    xx0 = jnp.floor(wx)
+    dxf = (wx - xx0)[:, None]                       # (B,1,H,W)
+    x0i = xx0.astype(jnp.int32)[:, None]
+    # per-shift x weights, stacked once and reused by every y step.
+    # Shift j reads padded column X + j == source column X + (j - (r+1)):
+    # the (1-dx) corner lands on x0 (j = x0 + r + 1), dx on x0+1.
+    wxs = jnp.stack([
+        (1.0 - dxf) * (x0i == (j - r - 1)).astype(jnp.float32)
+        + dxf * (x0i == (j - r - 2)).astype(jnp.float32)
+        for j in range(nsh)], axis=0)               # (nsh,B,1,H,W)
+    sp = jnp.pad(src, ((0, 0), (0, 0),
+                       (0, 0) if horiz_only else (r + 1, r + 1),
+                       (r + 1, r + 1)), mode="edge")
+
+    if horiz_only:
+        out = jnp.zeros_like(src)
+        for j in range(nsh):
+            out = out + wxs[j] * jax.lax.slice(
+                sp, (0, 0, 0, j), (b, c, h, j + w))
+        return out
+
+    yy0 = jnp.floor(wy)
+    dyf = (wy - yy0)[:, None]
+    y0i = yy0.astype(jnp.int32)[:, None]
+
+    def step(acc, k):
+        slab = jax.lax.dynamic_slice(sp, (0, 0, k, 0),
+                                     (b, c, h, w + nsh))
+        g = jnp.zeros_like(src)
+        for j in range(nsh):
+            g = g + wxs[j] * jax.lax.slice(slab, (0, 0, 0, j),
+                                           (b, c, h, j + w))
+        wyk = ((1.0 - dyf) * (y0i == (k - r - 1)).astype(jnp.float32)
+               + dyf * (y0i == (k - r - 2)).astype(jnp.float32))
+        return acc + wyk * g, None
+
+    out, _ = jax.lax.scan(step, jnp.zeros_like(src),
+                          jnp.arange(nsh, dtype=jnp.int32))
+    return out
+
+
 def warp_image_batched(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
                        use_pallas: bool, bb: int, horiz_only: bool = False):
     """Batched bilinear backward warp: src (B,C,H,W); wx/wy (B,H,W).
 
     On TPU (use_pallas), small levels take the gather-free MXU one-hot
-    path (warp_image_mxu / warp_image_mxu_h, exact to ~1e-5). Levels whose
-    interpolation operands exceed _MXU_WARP_BUDGET fall back to TWO int32
-    gathers of vertically-packed 16-bit pairs: P[y,x] = (q16(src[y,x]),
-    q16(src[min(y+1,H-1),x])) with a dynamic per-batch scale. Quantization
-    error is <= 0.5*max|src|/65535 (~0.002 on a 0..255 scale), below the
-    patch-extraction path's accepted hi/lo-bf16 tolerance. Exactness at the
-    top edge is preserved by zeroing dy where floor(y+wy) < 0 (both corners
-    then read row 0, reproducing the reference's index clamp).
+    path (warp_image_mxu / warp_image_mxu_h, exact to ~1e-5). Larger levels
+    take the banded shifted-slab warp (warp_image_banded) when the
+    displacements fit its band — always, for real coarse-to-fine flows —
+    with a lax.cond fallback to quantized packed-pair gathers
+    (_warp_gather_packed) otherwise.
     """
     if use_pallas:
         coeffs = _warp_coeffs_pallas(wx, wy, bb)
@@ -229,46 +306,72 @@ def warp_image_batched(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
     dxe = dx[:, None]
     dye = dy[:, None]
 
-    if use_pallas:  # TPU: packed-pair gathers
-        h = src.shape[2]
-        gy = jax.lax.broadcasted_iota(jnp.float32, wy.shape, wy.ndim - 2)
-        y0f = jnp.floor(gy + wy)
-        dy = jnp.where(y0f < 0, 0.0, dy)   # top-edge clamp via the weight
-        dye = dy[:, None]
-        scale = 65535.0 / jnp.maximum(jnp.max(src), 1e-6)
-        q = jnp.round(src * scale).astype(jnp.uint32)
-        down = _nbr(src, -2, 1, zero=False)
-        qd = jnp.round(down * scale).astype(jnp.uint32)
-        packed = (q | (qd << 16)).astype(jnp.uint32)
+    if use_pallas:
+        # large levels: banded shifted-slab warp when displacements fit the
+        # band (always, after coarse-to-fine init), gathers otherwise
+        r = _BANDED_WARP_R
+        valid = _banded_warp_valid(wx, wy, r, horiz_only)
+        out = jax.lax.cond(
+            valid,
+            lambda _: warp_image_banded(src, wx, wy, r,
+                                        horiz_only=horiz_only),
+            lambda _: _warp_gather_packed(src, wx, wy, coeffs),
+            operand=None)
+        return out, mask
 
-        def onep(s, iy_, ix_):
-            return jnp.stack([s[ch][iy_, ix_] for ch in range(c)], 0)
+    def one(s, iy_, ix_):
+        # per-channel 2D gathers: the extra leading C dim switches
+        # XLA:TPU to a ~10x slower gather lowering
+        return jnp.stack([s[ch][iy_, ix_] for ch in range(c)], 0)
 
-        g1 = jax.vmap(onep)(packed, y1, x1)
-        g2 = jax.vmap(onep)(packed, y1, x2)
-        inv = 1.0 / scale
-
-        def unpack(g):
-            lo = (g & jnp.uint32(0xFFFF)).astype(jnp.float32) * inv
-            hi = (g >> 16).astype(jnp.float32) * inv
-            return lo, hi
-
-        v11, v21 = unpack(g1)
-        v12, v22 = unpack(g2)
-    else:
-        def one(s, iy_, ix_):
-            # per-channel 2D gathers: the extra leading C dim switches
-            # XLA:TPU to a ~10x slower gather lowering
-            return jnp.stack([s[ch][iy_, ix_] for ch in range(c)], 0)
-
-        v11 = jax.vmap(one)(src, y1, x1)
-        v12 = jax.vmap(one)(src, y1, x2)
-        v21 = jax.vmap(one)(src, y2, x1)
-        v22 = jax.vmap(one)(src, y2, x2)
+    v11 = jax.vmap(one)(src, y1, x1)
+    v12 = jax.vmap(one)(src, y1, x2)
+    v21 = jax.vmap(one)(src, y2, x1)
+    v22 = jax.vmap(one)(src, y2, x2)
 
     out = (v11 * (1 - dxe) * (1 - dye) + v12 * dxe * (1 - dye)
            + v21 * (1 - dxe) * dye + v22 * dxe * dye)
     return out, mask
+
+
+def _warp_gather_packed(src, wx, wy, coeffs):
+    """TPU gather fallback: TWO int32 gathers of vertically-packed 16-bit
+    pairs P[y,x] = (q16(src[y,x]), q16(src[min(y+1,H-1),x])) with a dynamic
+    per-batch scale. Quantization error <= 0.5*max|src|/65535 (~0.002 on a
+    0..255 scale). Exactness at the top edge is preserved by zeroing dy
+    where floor(y+wy) < 0 (both corners then read row 0, reproducing the
+    reference's index clamp)."""
+    x1, x2, y1, y2, dx, dy, mask = coeffs
+    c = src.shape[1]
+    dxe = dx[:, None]
+    gy = jax.lax.broadcasted_iota(jnp.float32, wy.shape, wy.ndim - 2)
+    y0f = jnp.floor(gy + wy)
+    dy = jnp.where(y0f < 0, 0.0, dy)   # top-edge clamp via the weight
+    scale = 65535.0 / jnp.maximum(jnp.max(src), 1e-6)
+    q = jnp.round(src * scale).astype(jnp.uint32)
+    down = _nbr(src, -2, 1, zero=False)
+    qd = jnp.round(down * scale).astype(jnp.uint32)
+    packed = (q | (qd << 16)).astype(jnp.uint32)
+
+    def onep(s, iy_, ix_):
+        return jnp.stack([s[ch][iy_, ix_] for ch in range(c)], 0)
+
+    g1 = jax.vmap(onep)(packed, y1, x1)
+    g2 = jax.vmap(onep)(packed, y1, x2)
+    inv = 1.0 / scale
+
+    def unpack(g):
+        lo = (g & jnp.uint32(0xFFFF)).astype(jnp.float32) * inv
+        hi = (g >> 16).astype(jnp.float32) * inv
+        return lo, hi
+
+    v11, v21 = unpack(g1)
+    v12, v22 = unpack(g2)
+
+    dye = dy[:, None]
+    out = (v11 * (1 - dxe) * (1 - dye) + v12 * dxe * (1 - dye)
+           + v21 * (1 - dxe) * dye + v22 * dxe * dye)
+    return out
 
 
 # ----------------------------------------------------- derivative filters
@@ -651,18 +754,19 @@ def sor_de_rb(du, a11, b1, wh, wv, iterations: int, omega: float):
 _PALLAS_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _use_pallas(h: int, w: int, noc: int) -> bool:
+def _on_tpu() -> bool:
     import os
     if os.environ.get("OF_DIS_TPU_NO_PALLAS"):
         return False
     try:
-        backend = jax.default_backend()
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
-    if backend != "tpu":
-        return False
+
+
+def _use_pallas(h: int, w: int, noc: int) -> bool:
     nfields = 14 + 8 * noc + 8
-    return h * w * 4 * nfields < _PALLAS_VMEM_BUDGET
+    return _on_tpu() and h * w * 4 * nfields < _PALLAS_VMEM_BUDGET
 
 
 def _of_inner_loop(wx, wy, mask, I, *, noc, quarter_alpha, hd3, hg3,
@@ -791,7 +895,11 @@ def ref_level_of_batched(wx, wy, im1, im2, *, alpha, gamma, delta, n_inner,
     hg3 = gamma * 0.5 / 3.0
     pallas_ok = _use_pallas(h, w, noc)
     bb = _pick_bb(b, h, w, noc) if pallas_ok else 1
-    w_im2, mask = warp_image_batched(im2, wx, wy, pallas_ok, bb)
+    # the warp's TPU formulations (MXU one-hot / banded slabs) don't depend
+    # on whether the INNER loop's fused kernel fits VMEM — gate them on the
+    # platform alone (big levels: pallas_ok False but gathers cost
+    # ~10 cyc/elem, 46 ms per op-3 L1 8-batch)
+    w_im2, mask = warp_image_batched(im2, wx, wy, _on_tpu(), bb)
     I = jax.vmap(get_derivatives)(im1, w_im2)      # 8 x (B,C,H,W)
     kw = dict(noc=noc, quarter_alpha=quarter_alpha, hd3=hd3, hg3=hg3,
               n_inner=n_inner, n_solver=n_solver, omega=omega)
@@ -849,7 +957,7 @@ def ref_level_de_batched(wx, im1, im2, *, alpha, gamma, delta, n_inner,
     wy0 = jnp.zeros_like(wx)
     pallas_ok = _use_pallas(h, w, noc)
     bb = _pick_bb(b, h, w, noc) if pallas_ok else 1
-    w_im2, mask = warp_image_batched(im2, wx, wy0, pallas_ok, bb,
+    w_im2, mask = warp_image_batched(im2, wx, wy0, _on_tpu(), bb,
                                      horiz_only=True)
     I = jax.vmap(get_derivatives)(im1, w_im2)
     kw = dict(noc=noc, camlr=camlr, quarter_alpha=quarter_alpha, hd3=hd3,

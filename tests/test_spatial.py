@@ -52,3 +52,37 @@ def test_spatial_tv_multi_inner():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(got[..., 1]), np.asarray(ref_v),
                                atol=2e-4)
+
+
+def test_model_level_spatial_tv_dispatch():
+    """Size-based dispatch from the model's _tv_refine to the row-sharded
+    spatial TV: with a mesh registered and a threshold below the finest
+    level's working set, dis' core pipeline must route that level through
+    spatial.tv_refine_spatial and still match the unrouted result."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from of_dis_tpu.models import dis
+    from of_dis_tpu.params import DISParams
+
+    h, w = 128, 256
+    params = DISParams(sc_f=1, sc_l=0, max_iter=4, min_iter=4, p_samp_s=8,
+                       patove=0.4, noc=1, nop=2, usetvref=True)
+    rng = np.random.default_rng(0)
+    im_a = jnp.asarray(rng.random((1, 1, h, w)), jnp.float32) * 255
+    im_b = jnp.asarray(rng.random((1, 1, h, w)), jnp.float32) * 255
+
+    want = dis._dis_flow_core(im_a, im_b, params, w, h)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    # threshold between the L1 (64x128) and L0 (128x256) working sets:
+    # only the finest level routes through the spatial path
+    dis.set_spatial_tv_mesh(mesh, min_bytes=2 << 20)
+    try:
+        assert dis._spatial_tv_route(1, h, w, 2) is mesh
+        assert dis._spatial_tv_route(1, h // 2, w // 2, 2) is None
+        got = dis._dis_flow_core(im_a, im_b, params, w, h)
+    finally:
+        dis.set_spatial_tv_mesh(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -201,3 +201,34 @@ def test_ref_level_of_runs_and_improves_epe():
     epe1 = np.hypot(np.asarray(wx) - true[0],
                     np.asarray(wy) - true[1])[inner, inner].mean()
     assert epe1 < epe0
+
+
+def test_warp_banded_matches_oracle():
+    """The banded shifted-slab warp (large-level TPU path) must match the
+    exact gather warp for in-band displacements, including clamped borders;
+    the validity predicate must accept them and reject out-of-band flow."""
+    for c, seed in ((1, 0), (3, 1)):
+        im1, im2, wx, wy = _data(c=c, seed=seed)
+        # push some displacements near the band edge and over the borders
+        wx = wx * 2.0
+        wy = wy * 2.0
+        src = jnp.asarray(im2)[None]
+        bwx, bwy = jnp.asarray(wx)[None], jnp.asarray(wy)[None]
+        assert bool(tv._banded_warp_valid(bwx, bwy, tv._BANDED_WARP_R))
+        ours = tv.warp_image_banded(src, bwx, bwy, tv._BANDED_WARP_R)
+        ref, _ = otv.warp(im2, wx, wy)
+        np.testing.assert_allclose(np.asarray(ours)[0], ref, atol=1e-3)
+
+    # horizontal-only (depth) variant
+    im1, im2, wx, wy = _data()
+    ours_h = tv.warp_image_banded(jnp.asarray(im2)[None],
+                                  jnp.asarray(wx)[None],
+                                  jnp.zeros_like(jnp.asarray(wy))[None],
+                                  tv._BANDED_WARP_R, horiz_only=True)
+    ref_h, _ = otv.warp(im2, wx, np.zeros_like(wy))
+    np.testing.assert_allclose(np.asarray(ours_h)[0], ref_h, atol=1e-3)
+
+    # out-of-band flow must be rejected (the model then takes the gather
+    # fallback branch)
+    big = jnp.full_like(bwx, float(tv._BANDED_WARP_R + 3))
+    assert not bool(tv._banded_warp_valid(big, bwy, tv._BANDED_WARP_R))
