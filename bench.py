@@ -92,11 +92,43 @@ def main():
     dt = time.perf_counter() - t0
     pairs_per_sec = batch * iters / dt
 
+    # secondary metrics (same JSON line): op-3 throughput on a small batch,
+    # so regressions in the fine-level (tiled windowed GN) path are visible
+    # in the recorded bench, not just op-2. Disable with BENCH_SECONDARY=0.
+    secondary = {}
+    if os.environ.get("BENCH_SECONDARY", "1") != "0":
+        from of_dis_tpu.params import op_point_params as _opp
+
+        p3 = _opp(w_org, 3, nop=2, noc=1, verbosity=0)
+        b3 = min(batch, 8)
+        a3 = jax.vmap(lambda x: pyramid.pad_to_divisible(x, p3.sc_f))(
+            jnp.asarray(base[:b3]))
+        b3_im = jax.vmap(lambda x: pyramid.pad_to_divisible(x, p3.sc_f))(
+            jnp.asarray(shift[:b3]))
+        fh3, fw3 = int(a3.shape[2]), int(a3.shape[3])
+
+        @jax.jit
+        def step3(a, b, chk):
+            out = dis.dis_flow_batched(a, b, p3, fw3, fh3,
+                                       channels_last=False)
+            return chk + jnp.sum(out[:, :, ::64, ::64])
+
+        _sync(step3(a3, b3_im, jnp.zeros((), jnp.float32)))
+        it3 = 4
+        t0 = time.perf_counter()
+        chk = jnp.zeros((), jnp.float32)
+        for _ in range(it3):
+            chk = step3(a3, b3_im, chk)
+        _sync(chk)
+        secondary["op3_pairs_per_sec"] = round(b3 * it3 /
+                                               (time.perf_counter() - t0), 2)
+
     print(json.dumps({
         "metric": "sintel_1024x436_op2_pairs_per_sec",
         "value": round(pairs_per_sec, 2),
         "unit": "frame-pairs/s",
         "vs_baseline": round(pairs_per_sec / 200.0, 3),
+        **({"secondary": secondary} if secondary else {}),
     }))
 
 

@@ -104,6 +104,53 @@ def _template_indices(spec: LevelSpec, psz: int) -> Tuple[np.ndarray, np.ndarray
     return rows, cols
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _template_sel_mats(spec: LevelSpec, psz: int):
+    """Constant 0/1 selection matrices for the matmul template extraction:
+    C_all ((psz*nopw), Wp) picks columns xbase + x*steps + i (i-major rows)
+    and R_all (psz, noph, Hp) picks rows ybase + y*steps + j per j."""
+    lb = -psz // 2
+    ybase = spec.offseth + lb + spec.pad
+    xbase = spec.offsetw + lb + spec.pad
+    hp = spec.padded_height
+    wp = spec.padded_width
+    c_all = np.zeros((psz * spec.nopw, wp), np.float32)
+    for i in range(psz):
+        for x in range(spec.nopw):
+            c_all[i * spec.nopw + x, xbase + x * spec.steps + i] = 1.0
+    r_all = np.zeros((psz, spec.noph, hp), np.float32)
+    for j in range(psz):
+        for y in range(spec.noph):
+            r_all[j, y, ybase + y * spec.steps + j] = 1.0
+    return c_all, r_all
+
+
+def _templates_mm(spec: LevelSpec, psz: int, field: jnp.ndarray):
+    """(C, Hp, Wp) -> (D, N) template window extraction as two constant
+    0/1-matrix contractions (HIGHEST precision: exact selection).
+
+    The im2col slab-stack form costs ~0.5 ms/pair/field at op-3 fine
+    levels: XLA picks T(1,128) layouts for the 7-D stacked slices and
+    copies at ~70 GB/s. Two MXU dots plus reshapes write the same (D, N)
+    at full speed. Row/patch orders match the slab form exactly:
+    D = (j, i, c), N = (x, y) column-major."""
+    c, hp, wp = field.shape
+    c_all, r_all = _template_sel_mats(spec, psz)
+    nopw, noph = spec.nopw, spec.noph
+    hi = jax.lax.Precision.HIGHEST
+    imt = jnp.swapaxes(field, 1, 2)                      # (c, Wp, Hp)
+    u = jnp.einsum("mw,cwh->cmh", jnp.asarray(c_all), imt, precision=hi)
+    u = u.reshape(c, psz, nopw, hp)
+    u = jnp.transpose(u, (1, 0, 2, 3)).reshape(psz * c * nopw, hp)
+    g = jnp.einsum("mh,jyh->jmy", u, jnp.asarray(r_all), precision=hi)
+    # (j, (i, c, x), y) -> (D = (j, i, c), N = (x, y))
+    g = g.reshape(psz, psz * c, nopw, noph)
+    return g.reshape(psz * psz * c, nopw * noph)
+
+
 def extract_templates(spec: LevelSpec, params: DISParams, im: jnp.ndarray,
                       dx: jnp.ndarray, dy: jnp.ndarray) -> PatchTemplates:
     """InitializeGrid: extract template patches + gradients, build Hessians.
@@ -111,43 +158,9 @@ def extract_templates(spec: LevelSpec, params: DISParams, im: jnp.ndarray,
     im/dx/dy: (C, Hp, Wp) padded level images. Reference: patch.cpp:55-86.
     """
     psz = params.p_samp_s
-    steps = spec.steps
-    if psz % steps == 0:
-        # Gather-free im2col: template windows lie on a regular grid, so
-        # with j = a*steps + u the sample at (patch iy, row j) is the block
-        # view B[iy + a, u] — m*m static slices of a strided reshape replace
-        # the (N,P,P) gather (patch.cpp:311-325 semantics, TPU-first form).
-        m = psz // steps
-        lb = -psz // 2
-        ybase = spec.offseth + lb + spec.pad
-        xbase = spec.offsetw + lb + spec.pad
-        noph, nopw = spec.noph, spec.nopw
 
-        def gather(imgs):
-            cdim = imgs.shape[0]
-            region = jax.lax.slice(
-                imgs, (0, ybase, xbase),
-                (cdim, ybase + (noph + m - 1) * steps,
-                 xbase + (nopw + m - 1) * steps))
-            blk = region.reshape(cdim, noph + m - 1, steps,
-                                 nopw + m - 1, steps)
-            slabs = [blk[:, a:a + noph, :, b:b + nopw, :]
-                     for a in range(m) for b in range(m)]
-            st = jnp.stack(slabs, 0).reshape(
-                m, m, cdim, noph, steps, nopw, steps)
-            # -> (j=(a,u), i=(b,v), c, n=(ix, iy))
-            st = jnp.transpose(st, (0, 4, 1, 6, 2, 5, 3))
-            return st.reshape(psz * psz * cdim, nopw * noph)
-    else:
-        rows, cols = _template_indices(spec, psz)
-        r = jnp.asarray(rows)[:, :, None]   # (N, P, 1)
-        c = jnp.asarray(cols)[:, None, :]   # (N, 1, P)
-
-        def gather(imgs):
-            # (C, Hp, Wp) -> (C, N, P, P) -> (P, P, C, N) -> (D, N)
-            g = imgs[:, r, c]
-            g = jnp.transpose(g, (2, 3, 0, 1))
-            return g.reshape(-1, g.shape[-1])
+    def gather(imgs):
+        return _templates_mm(spec, psz, imgs)
 
     tmpl = gather(im)
     tdx = gather(dx)
@@ -398,8 +411,10 @@ def _gn_windows(psz: int, hp: int):
 def _pick_gn_bb(b: int, w1: int, c: int, hpb: int, wp: int, d: int, n: int):
     """Batch block for the fused GN kernel, or None when one pair's working
     set already exceeds the VMEM budget."""
+    wb = _round_up(w1 - 1 + 8, 8)
     per = (2 * w1 * c * hpb * wp * 2      # lhs hi/lo blocks (bf16)
            + 2 * w1 * c * hpb * n * 4    # t + shifted copies (transient)
+           + w1 * c * wb * n * 4         # cached aligned rows (carry)
            + 7 * d * n * 4)              # tmpl/tdx/tdy + carry + outputs
     cap = _vmem_cap(10 * 1024 * 1024)
     for cand in (8, 4, 2, 1):
@@ -418,11 +433,13 @@ def _pick_gn_nb(w1: int, c: int, hpb: int, wp: int, d: int, n: int):
     (op-3 L1, estimated 11.4MB at nb=128, compiles and runs)."""
     cap = _vmem_cap(12 * 1024 * 1024 + 512 * 1024)
     planes = 2 * w1 * c * hpb * wp * 2
+    wb = _round_up(w1 - 1 + 8, 8)
     if planes >= cap:
         return None
     for nb in (1024, 512, 384, 256, 128):
         per = (planes
                + 2 * w1 * c * hpb * nb * 4
+               + w1 * c * wb * nb * 4
                + 7 * d * nb * 4)
         if per < cap:
             return nb
@@ -488,13 +505,11 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
             return ((pt[:, 0] < spec.tmp_lb) | (pt[:, 1] < spec.tmp_lb)
                     | (pt[:, 0] > spec.tmp_ubw) | (pt[:, 1] > spec.tmp_ubh))
 
-        def extract(pt):
-            pos_c = jnp.ceil(pt + 1e-5).astype(jnp.int32)
-            resid = pt - jnp.floor(pt)
-            sx = pos_c[:, 0] - psz // 2 - 1 + pad        # (bb, n)
-            sy = pos_c[:, 1] - psz // 2 - 1 + pad
-            rx = resid[:, 0]
-            ry = resid[:, 1]
+        def select_rows(sx, sy):
+            """(bb, w1c, wb, n) position-aligned window rows: the one-hot
+            extraction dot + band/sub-band alignment per pair. Pure
+            function of the integer anchors — cached across GN iterations
+            once patches stop crossing pixel cells."""
             outs = []
             for k in range(bb):
                 # two-hot over the K-stacked hi|lo planes: one MXU dot
@@ -520,6 +535,32 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                         s3, bit), 1) == 1)[None, None, :]
                     a = jnp.where(m, rolled, a)
                 # a[:, j, :] == t[:, sy + j, :] for j in 0..psz
+                outs.append(a)
+            return jnp.stack(outs, axis=0)               # (bb, w1c, wb, n)
+
+        def compute_err(pt, active, prev):
+            """prev = (rows cache, integer anchors) or None; when no
+            ACTIVE patch moved to a different integer cell the extraction
+            dot + alignment are skipped and the cached rows are reused
+            (stale rows of inactive patches are masked by the
+            active-gated carry update)."""
+            pos_c = jnp.ceil(pt + 1e-5).astype(jnp.int32)
+            resid = pt - jnp.floor(pt)
+            sx = pos_c[:, 0] - psz // 2 - 1 + pad        # (bb, n)
+            sy = pos_c[:, 1] - psz // 2 - 1 + pad
+            rx = resid[:, 0]
+            ry = resid[:, 1]
+            sxy = jnp.stack([sx, sy], axis=1)            # (bb, 2, n)
+            if prev is None:
+                av = select_rows(sx, sy)
+            else:
+                a_prev, sxyp = prev
+                same = jnp.all((~active[:, None, :]) | (sxy == sxyp))
+                av = jax.lax.cond(same, lambda _: a_prev,
+                                  lambda _: select_rows(sx, sy), None)
+            outs = []
+            for k in range(bb):
+                a = av[k]
                 ryk = ry[k][None, :]
                 rxk = rx[k][None, None, :]
                 rows = [a[:, j, :] for j in range(psz + 1)]   # (w1*c, n)
@@ -530,21 +571,20 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                     pxj = (1.0 - rxk) * wyj[:psz] + rxk * wyj[1:]
                     parts.append(pxj.reshape(psz * c, n))
                 outs.append(jnp.concatenate(parts, axis=0))   # (D, n)
-            return jnp.stack(outs, axis=0)                    # (bb, D, n)
-
-        def compute_err(pt):
-            patch = extract(pt)
+            patch = jnp.stack(outs, axis=0)                   # (bb, D, n)
             if params.patnorm > 0:
                 patch = patch - patch.mean(axis=1, keepdims=True)
             pdiff, pweight = loss_error_image(patch - tmpl, params.costfct)
             mares = jnp.sum(pweight, axis=1) / novals
-            return pdiff, pweight, mares
+            return pdiff, pweight, mares, (av, sxy)
 
         pt0 = to_pt(p_init)
         init_oob = oob(pt0)
         pt0_safe = jnp.where(init_oob[:, None, :],
                              jnp.broadcast_to(ptr, pt0.shape), pt0)
-        pdiff0, pweight0, mares0 = compute_err(pt0_safe)
+        all_on = jnp.ones((bb, n), jnp.bool_)
+        pdiff0, pweight0, mares0, cache0 = compute_err(pt0_safe, all_on,
+                                                       None)
         _, tmpl_pw = loss_error_image(tmpl, params.costfct)
         m0 = init_oob[:, None, :]
         pdiff0 = jnp.where(m0, tmpl, pdiff0)
@@ -555,7 +595,8 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
         def body(i, carry):
             # `active` rides the carry as a 0/1 f32 mask: Mosaic cannot
             # legalize i1 vectors in scf.for operands
-            p, pdiff, pweight, active_f, mares, mares_old, dpn_init = carry
+            (p, pdiff, pweight, active_f, mares, mares_old, dpn_init,
+             cache) = carry
             active = active_f > 0.5
             it1 = i + 1
             rhs0 = jnp.sum(tdx * pdiff, axis=1)
@@ -576,7 +617,8 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
             reset = (moved > params.outlierthresh) | oob(pt_new)
             p_new = jnp.where(reset[:, None, :], p_init, p_new)
             pt_new = to_pt(p_new)
-            pdiff_new, pweight_new, mares_new = compute_err(pt_new)
+            pdiff_new, pweight_new, mares_new, cache_new = compute_err(
+                pt_new, active, cache)
             dp_sqnorm = jnp.sum(dp * dp, axis=1)
             dpn_init_new = jnp.where(it1 == 1, dp_sqnorm, dpn_init)
             keep = ((it1 < params.max_iter)
@@ -596,11 +638,11 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                     sel(pweight_new, pweight),
                     (active & active_new).astype(jnp.float32),
                     sel(mares_new, mares), sel(mares, mares_old),
-                    sel(dpn_init_new, dpn_init))
+                    sel(dpn_init_new, dpn_init), cache_new)
 
         carry0 = (p_init, pdiff0, pweight0, active0.astype(jnp.float32),
                   mares0, jnp.full((bb, n), 1e5, jnp.float32),
-                  jnp.full((bb, n), 1e-10, jnp.float32))
+                  jnp.full((bb, n), 1e-10, jnp.float32), cache0)
         out = jax.lax.fori_loop(0, params.max_iter, body, carry0)
         po_ref[:] = out[0]
         pw_ref[:] = out[2]
@@ -870,13 +912,11 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
         colsx = jax.lax.broadcasted_iota(jnp.int32, (xb, nb), 0)
         colsb = jax.lax.broadcasted_iota(jnp.int32, (nbands, nb), 0)
 
-        def extract(pt):
-            pos_c = jnp.ceil(pt + 1e-5).astype(jnp.int32)
-            resid = pt - jnp.floor(pt)
-            sx = pos_c[0] - psz // 2 - 1 + spec.pad - xs0   # (nb,)
-            sy = pos_c[1] - psz // 2 - 1 + spec.pad - ys0
-            rx = resid[0]
-            ry = resid[1]
+        def select_rows(sx, sy):
+            """(w1c, psz+1, nb) aligned window rows for integer anchors
+            (sx, sy): the extraction dot + band/sub-band selection. Pure
+            function of the integer positions — cached across GN
+            iterations once patches stop crossing pixel cells."""
             band_i = jax.lax.shift_right_logical(sy, 3)
             s3 = jnp.bitwise_and(sy, 7)
             # joint (band, hi/lo, x) one-hot as a product of two small
@@ -894,6 +934,31 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             for s in range(8):
                 m = (s3 == s)[None, None, :]
                 a = a + jnp.where(m, t3[:, s:s + psz + 1, :], 0.0)
+            return a
+
+        def compute_err(pt, active, prev):
+            """prev = (a, sx, sy) from the previous extraction or None.
+            When no ACTIVE patch moved to a different integer cell, the
+            dot + row selection are skipped and `a` is reused — after a
+            few iterations positions settle and only the sub-pixel
+            residual changes (stale rows of inactive patches are harmless:
+            their outputs are masked by the active-gated carry update)."""
+            pos_c = jnp.ceil(pt + 1e-5).astype(jnp.int32)
+            resid = pt - jnp.floor(pt)
+            sx = pos_c[0] - psz // 2 - 1 + spec.pad - xs0   # (nb,)
+            sy = pos_c[1] - psz // 2 - 1 + spec.pad - ys0
+            rx = resid[0]
+            ry = resid[1]
+            # cache coordinates as (2, nb): rank-1 vectors through the
+            # scf carry/cond crash Mosaic's layout inference
+            sxy = jnp.stack([sx, sy], axis=0)
+            if prev is None:
+                a = select_rows(sx, sy)
+            else:
+                a_prev, sxyp = prev
+                same = jnp.all((~active[None, :]) | (sxy == sxyp))
+                a = jax.lax.cond(same, lambda _: a_prev,
+                                 lambda _: select_rows(sx, sy), None)
             rows = [a[:, j, :] for j in range(psz + 1)]
             ryk = ry[None, :]
             rxk = rx[None, None, :]
@@ -903,21 +968,20 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 wyj = wyj.reshape(w1, noc, nb)
                 pxj = (1.0 - rxk) * wyj[:psz] + rxk * wyj[1:]
                 parts.append(pxj.reshape(psz * noc, nb))
-            return jnp.concatenate(parts, axis=0)       # (D, nb)
-
-        def compute_err(pt):
-            patch = extract(pt)
+            patch = jnp.concatenate(parts, axis=0)      # (D, nb)
             if params.patnorm > 0:
                 patch = patch - patch.mean(axis=0, keepdims=True)
             pdiff, pweight = loss_error_image(patch - tmpl, params.costfct)
             mares = jnp.sum(pweight, axis=0)            # (nb,)
-            return pdiff, pweight, mares / novals
+            return pdiff, pweight, mares / novals, (a, sxy)
 
         pt0 = to_pt(p_init)
         init_oob = oob(pt0)
         pt0_safe = jnp.where(init_oob[None, :],
                              jnp.broadcast_to(ptr, pt0.shape), pt0)
-        pdiff0, pweight0, mares0 = compute_err(pt0_safe)
+        all_on = jnp.ones((nb,), jnp.bool_)
+        pdiff0, pweight0, mares0, cache0 = compute_err(pt0_safe, all_on,
+                                                       None)
         _, tmpl_pw = loss_error_image(tmpl, params.costfct)
         m0 = init_oob[None, :]
         pdiff0 = jnp.where(m0, tmpl, pdiff0)
@@ -926,7 +990,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                    & (mares0 > params.res_thresh))
 
         def body(i, carry):
-            p, pdiff, pweight, active_f, mares, dpn_init = carry
+            p, pdiff, pweight, active_f, mares, dpn_init, cache = carry
             active = active_f > 0.5
             it1 = i + 1
             rhs0 = jnp.sum(tdx * pdiff, axis=0)
@@ -947,7 +1011,8 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             reset = (moved > params.outlierthresh) | oob(pt_new)
             p_new = jnp.where(reset[None, :], p_init, p_new)
             pt_new = to_pt(p_new)
-            pdiff_new, pweight_new, mares_new = compute_err(pt_new)
+            pdiff_new, pweight_new, mares_new, cache_new = compute_err(
+                pt_new, active, cache)
             dp_sqnorm = jnp.sum(dp * dp, axis=0)
             dpn_init_new = jnp.where(it1 == 1, dp_sqnorm, dpn_init)
             keep = ((it1 < params.max_iter)
@@ -966,10 +1031,11 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             return (sel(p_new, p), sel(pdiff_new, pdiff),
                     sel(pweight_new, pweight),
                     (active & active_new).astype(jnp.float32),
-                    sel(mares_new, mares), sel(dpn_init_new, dpn_init))
+                    sel(mares_new, mares), sel(dpn_init_new, dpn_init),
+                    cache_new)
 
         carry0 = (p_init, pdiff0, pweight0, active0.astype(jnp.float32),
-                  mares0, jnp.full((nb,), 1e-10, jnp.float32))
+                  mares0, jnp.full((nb,), 1e-10, jnp.float32), cache0)
         out = jax.lax.fori_loop(0, params.max_iter, body, carry0)
         po_ref[0] = out[0]
         pw_ref[0] = out[2]
