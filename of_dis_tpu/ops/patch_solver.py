@@ -93,17 +93,6 @@ def grid_ref_points(spec: LevelSpec) -> jnp.ndarray:
     return jnp.asarray(np.stack([xs, ys], axis=1), dtype=jnp.float32)
 
 
-def _template_indices(spec: LevelSpec, psz: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Static (N, P) row/col gather indices into the padded image for the
-    integer-position template windows (patch.cpp:311-325)."""
-    xs, ys = grid_points(spec)
-    lb = -psz // 2
-    offs = np.arange(psz) + lb
-    rows = (np.asarray(ys)[:, None] + offs[None, :] + spec.pad).astype(np.int32)
-    cols = (np.asarray(xs)[:, None] + offs[None, :] + spec.pad).astype(np.int32)
-    return rows, cols
-
-
 from functools import lru_cache
 
 
@@ -1070,17 +1059,19 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
 
 
 def _tile_windows(spec: LevelSpec, params: DISParams, geom: _TileGeom,
-                  tpl: PatchTemplates, p_init_t, pt_ref_t, batch: int):
-    """Tiled-order operands + per-(pair, tile) window origins + the window
-    validity flag for _gn_tiled_pallas."""
+                  p_init_t, pt_ref_t, batch: int):
+    """Tiled-order positions + per-(pair, tile) window origins + the window
+    validity flag for _gn_tiled_pallas. Only position-sized arrays are
+    transformed here — the big template fields are reordered INSIDE the
+    tiled lax.cond branch so the conditional's operand set (and its
+    entry/exit copies) stays small and the fallback branch reuses the
+    untransformed originals."""
     psz, nop = params.p_samp_s, params.nop
     w1 = psz + 1
     b = batch
     perm, _, t_tiles = _tile_perm(spec, geom)
     pad_mask = jnp.asarray(perm < 0)
     take = lambda x: _tile_fwd(x, spec, geom)
-    tpl_p = PatchTemplates(take(tpl.tmpl), take(tpl.tdx), take(tpl.tdy),
-                           take(tpl.hes))
     p_init_p = take(p_init_t)
     ptr_p = jnp.where(pad_mask[None, None, :], -1e6,
                       take(pt_ref_t))                    # (1, 2, n_pad)
@@ -1119,7 +1110,7 @@ def _tile_windows(spec: LevelSpec, params: DISParams, geom: _TileGeom,
     ok_y = ((ys <= jnp.maximum(sym - mo, 0))
             & (syM + mo <= ys + geom.yb - geom.wbnd + 7)) | empty
     valid = jnp.all(ok_x & ok_y)
-    return tpl_p, p_init_p, ptr_p, xs, ys, valid
+    return p_init_p, ptr_p, xs, ys, valid
 
 
 def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
@@ -1129,10 +1120,13 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
     the exact unwindowed XLA path via lax.cond. Returns (p, pweight, iters)
     as (B, nop, N), (B, D, N), () in column-major patch order."""
     psz, noc = params.p_samp_s, params.noc
-    tpl_p, p_init_p, ptr_p, xs, ys, valid = _tile_windows(
-        spec, params, geom, tpl, p_init_t, pt_ref_t, im_b.shape[0])
+    p_init_p, ptr_p, xs, ys, valid = _tile_windows(
+        spec, params, geom, p_init_t, pt_ref_t, im_b.shape[0])
 
     def tiled(_):
+        take = lambda x: _tile_fwd(x, spec, geom)
+        tpl_p = PatchTemplates(take(tpl.tmpl), take(tpl.tdx),
+                               take(tpl.tdy), take(tpl.hes))
         planes5 = _build_planes5(im_b, psz, noc, geom.hppp, geom.wppp)
         p_fin, pw = _gn_tiled_pallas(spec, params, geom, planes5, tpl_p,
                                      p_init_p, ptr_p, xs, ys)

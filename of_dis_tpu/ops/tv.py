@@ -242,13 +242,16 @@ def warp_image_banded(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
     xx0 = jnp.floor(wx)
     dxf = (wx - xx0)[:, None]                       # (B,1,H,W)
     x0i = xx0.astype(jnp.int32)[:, None]
-    # per-shift x weights, stacked once and reused by every y step.
+
     # Shift j reads padded column X + j == source column X + (j - (r+1)):
-    # the (1-dx) corner lands on x0 (j = x0 + r + 1), dx on x0+1.
-    wxs = jnp.stack([
-        (1.0 - dxf) * (x0i == (j - r - 1)).astype(jnp.float32)
-        + dxf * (x0i == (j - r - 2)).astype(jnp.float32)
-        for j in range(nsh)], axis=0)               # (nsh,B,1,H,W)
+    # the (1-dx) corner lands on x0 (j = x0 + r + 1), dx on x0+1. Weights
+    # are computed inline per term — a stacked (nsh,B,1,H,W) weight tensor
+    # costs ~6.7 ms of HBM traffic at op-3 L1 batch 8; the inline compares
+    # fuse into the slab-sum pass for free.
+    def wx_j(j):
+        return ((1.0 - dxf) * (x0i == (j - r - 1)).astype(jnp.float32)
+                + dxf * (x0i == (j - r - 2)).astype(jnp.float32))
+
     sp = jnp.pad(src, ((0, 0), (0, 0),
                        (0, 0) if horiz_only else (r + 1, r + 1),
                        (r + 1, r + 1)), mode="edge")
@@ -256,7 +259,7 @@ def warp_image_banded(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
     if horiz_only:
         out = jnp.zeros_like(src)
         for j in range(nsh):
-            out = out + wxs[j] * jax.lax.slice(
+            out = out + wx_j(j) * jax.lax.slice(
                 sp, (0, 0, 0, j), (b, c, h, j + w))
         return out
 
@@ -269,8 +272,8 @@ def warp_image_banded(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
                                      (b, c, h, w + nsh))
         g = jnp.zeros_like(src)
         for j in range(nsh):
-            g = g + wxs[j] * jax.lax.slice(slab, (0, 0, 0, j),
-                                           (b, c, h, j + w))
+            g = g + wx_j(j) * jax.lax.slice(slab, (0, 0, 0, j),
+                                            (b, c, h, j + w))
         wyk = ((1.0 - dyf) * (y0i == (k - r - 1)).astype(jnp.float32)
                + dyf * (y0i == (k - r - 2)).astype(jnp.float32))
         return acc + wyk * g, None
@@ -291,7 +294,13 @@ def warp_image_batched(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
     with a lax.cond fallback to quantized packed-pair gathers
     (_warp_gather_packed) otherwise.
     """
-    if use_pallas:
+    # the fused coeffs kernel exists for small fields (per-op overhead of
+    # the ~15-op XLA chain); at full-resolution levels its (bb,H,W) blocks
+    # x 9 fields bust the 16MB VMEM stack (measured 18.6M at op-4 L0) and
+    # XLA's fused elementwise chain is fine there anyway
+    h_, w_ = wx.shape[-2], wx.shape[-1]
+    coeffs_fits = bb * h_ * w_ * 4 * 9 * 2 < 12 * 1024 * 1024
+    if use_pallas and coeffs_fits:
         coeffs = _warp_coeffs_pallas(wx, wy, bb)
     else:
         coeffs = _warp_coeffs(wx, wy)

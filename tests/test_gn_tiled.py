@@ -124,12 +124,8 @@ def test_window_validity_smooth_flow_op3_geometry():
         p_init = np.stack([np.full(n, 3.0 / 2 ** sl),
                            np.full(n, 2.0 / 2 ** sl)], 1).astype(np.float32)
         p_init += rng.normal(0, 0.5, (n, 2)).astype(np.float32)
-        d = prm.p_samp_s ** 2
-        tpl = patch_solver.PatchTemplates(
-            jnp.zeros((1, d, n)), jnp.zeros((1, d, n)), jnp.zeros((1, d, n)),
-            jnp.ones((1, 3, n)))
         ptr = patch_solver.grid_ref_points(spec).T[None]
         *_, valid = patch_solver._tile_windows(
-            spec, prm, geom, tpl, jnp.swapaxes(jnp.asarray(p_init), 0, 1)[None],
+            spec, prm, geom, jnp.swapaxes(jnp.asarray(p_init), 0, 1)[None],
             ptr, 1)
         assert bool(valid), sl

@@ -28,15 +28,17 @@ def main():
     rng = np.random.default_rng(0)
     h, w = 128, 192
 
-    def pair(c, shift):
-        big = rng.random((c, h + 40, w + 40)).astype(np.float32) * 255
+    def pair(c, shift, ph=None, pw=None):
+        ph = h if ph is None else ph
+        pw = w if pw is None else pw
+        big = rng.random((c, ph + 40, pw + 40)).astype(np.float32) * 255
         # separable smoothing
         k = np.ones(7, np.float32) / 7.0
         big = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, big)
         big = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 2, big)
-        a = big[:, 20:20 + h, 20:20 + w]
+        a = big[:, 20:20 + ph, 20:20 + pw]
         sx, sy = shift
-        b = big[:, 20 - sy:20 - sy + h, 20 - sx:20 - sx + w]
+        b = big[:, 20 - sy:20 - sy + ph, 20 - sx:20 - sx + pw]
         return jnp.asarray(a), jnp.asarray(b)
 
     def run(name, prm, a, b, expect=None, tol=0.6):
@@ -71,6 +73,13 @@ def main():
     prm_l1 = DISParams(sc_f=3, sc_l=1, max_iter=12, min_iter=12, p_samp_s=8,
                        patove=0.4, costfct=1, usetvref=True)
     run("L1 cost", prm_l1, a1, b1, (2, 1))
+
+    # tiled windowed GN kernel + banded warp: a fine level too large for the
+    # whole-plane kernel (the op-3/4 hot path, exercised at real scale)
+    at, bt = pair(1, (2, 1), ph=224, pw=512)
+    prm_t = DISParams(sc_f=2, sc_l=0, max_iter=16, min_iter=16, p_samp_s=12,
+                      patove=0.75, usetvref=True)
+    run("tiled GN fine level", prm_t, at, bt, (2, 1))
 
     # sequence mode with warm start (scan)
     prm = DISParams(sc_f=3, sc_l=1, max_iter=8, min_iter=8, p_samp_s=8,
