@@ -204,6 +204,13 @@ def _use_pallas_bilerp() -> bool:
         return False
 
 
+def _use_extract_cache() -> bool:
+    """Cross-iteration extraction-row caching in the fused GN kernels
+    (diagnostic escape hatch: OF_DIS_TPU_NO_EXTRACT_CACHE=1 disables)."""
+    import os
+    return not os.environ.get("OF_DIS_TPU_NO_EXTRACT_CACHE")
+
+
 def _bilerp_select_pure(t, sy, ry, rx, psz, c, hp):
     """Row selection + bilinear lerps after the column one-hot matmul.
 
@@ -474,6 +481,11 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
     nh = tpl.hes.shape[1]
     novals = float(params.novals)
 
+    # cross-iteration extraction caching pays for its cond + carry only on
+    # long loops (whole-block skips need EVERY active patch cell-stable;
+    # measured a ~6% op-2 loss at 12 iterations, large wins at 128)
+    use_cache = _use_extract_cache() and params.max_iter >= 32
+
     def kernel(lh_ref, tm_ref, tx_ref, ty_ref, he_ref, p0_ref,
                pr_ref, po_ref, pw_ref):
         tmpl = tm_ref[:]
@@ -540,7 +552,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
             rx = resid[:, 0]
             ry = resid[:, 1]
             sxy = jnp.stack([sx, sy], axis=1)            # (bb, 2, n)
-            if prev is None:
+            if prev is None or not use_cache:
                 av = select_rows(sx, sy)
             else:
                 a_prev, sxyp = prev
@@ -565,7 +577,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                 patch = patch - patch.mean(axis=1, keepdims=True)
             pdiff, pweight = loss_error_image(patch - tmpl, params.costfct)
             mares = jnp.sum(pweight, axis=1) / novals
-            return pdiff, pweight, mares, (av, sxy)
+            return pdiff, pweight, mares, ((av, sxy) if use_cache else None)
 
         pt0 = to_pt(p_init)
         init_oob = oob(pt0)
@@ -584,8 +596,13 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
         def body(i, carry):
             # `active` rides the carry as a 0/1 f32 mask: Mosaic cannot
             # legalize i1 vectors in scf.for operands
-            (p, pdiff, pweight, active_f, mares, mares_old, dpn_init,
-             cache) = carry
+            if use_cache:
+                (p, pdiff, pweight, active_f, mares, mares_old, dpn_init,
+                 cache) = carry
+            else:
+                (p, pdiff, pweight, active_f, mares, mares_old,
+                 dpn_init) = carry
+                cache = None
             active = active_f > 0.5
             it1 = i + 1
             rhs0 = jnp.sum(tdx * pdiff, axis=1)
@@ -623,15 +640,17 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                     return jnp.where(active, new, old)
                 return jnp.where(active[:, None, :], new, old)
 
+            tail = (cache_new,) if use_cache else ()
             return (sel(p_new, p), sel(pdiff_new, pdiff),
                     sel(pweight_new, pweight),
                     (active & active_new).astype(jnp.float32),
                     sel(mares_new, mares), sel(mares, mares_old),
-                    sel(dpn_init_new, dpn_init), cache_new)
+                    sel(dpn_init_new, dpn_init)) + tail
 
         carry0 = (p_init, pdiff0, pweight0, active0.astype(jnp.float32),
                   mares0, jnp.full((bb, n), 1e5, jnp.float32),
-                  jnp.full((bb, n), 1e-10, jnp.float32), cache0)
+                  jnp.full((bb, n), 1e-10, jnp.float32)) + (
+                      (cache0,) if use_cache else ())
         out = jax.lax.fori_loop(0, params.max_iter, body, carry0)
         po_ref[:] = out[0]
         pw_ref[:] = out[2]
@@ -941,7 +960,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             # cache coordinates as (2, nb): rank-1 vectors through the
             # scf carry/cond crash Mosaic's layout inference
             sxy = jnp.stack([sx, sy], axis=0)
-            if prev is None:
+            if prev is None or not _use_extract_cache():
                 a = select_rows(sx, sy)
             else:
                 a_prev, sxyp = prev

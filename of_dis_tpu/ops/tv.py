@@ -294,14 +294,19 @@ def warp_image_batched(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
     with a lax.cond fallback to quantized packed-pair gathers
     (_warp_gather_packed) otherwise.
     """
-    # the fused coeffs kernel exists for small fields (per-op overhead of
-    # the ~15-op XLA chain); at full-resolution levels its (bb,H,W) blocks
-    # x 9 fields bust the 16MB VMEM stack (measured 18.6M at op-4 L0) and
-    # XLA's fused elementwise chain is fine there anyway
+    # the fused coeffs kernel's (bbc,H,W) blocks x 9 fields must fit the
+    # 16MB VMEM stack (measured 18.6M OOM at op-4 L0 with bbc=1): shrink
+    # the batch block independently of the TV kernel's, and only fall back
+    # to XLA's fused chain when even one pair's field doesn't fit
     h_, w_ = wx.shape[-2], wx.shape[-1]
-    coeffs_fits = bb * h_ * w_ * 4 * 9 * 2 < 12 * 1024 * 1024
-    if use_pallas and coeffs_fits:
-        coeffs = _warp_coeffs_pallas(wx, wy, bb)
+    b_ = wx.shape[0]
+    bbc = min(bb if bb > 0 else 1, b_)
+    while bbc > 1 and bbc * h_ * w_ * 4 * 9 * 2 >= 12 * 1024 * 1024:
+        bbc -= 1
+    while b_ % bbc:
+        bbc -= 1
+    if use_pallas and h_ * w_ * 4 * 9 * 2 < 12 * 1024 * 1024:
+        coeffs = _warp_coeffs_pallas(wx, wy, bbc)
     else:
         coeffs = _warp_coeffs(wx, wy)
     if use_pallas and _use_mxu_warp(src.shape[0], src.shape[1],

@@ -136,3 +136,20 @@ def test_gn_fused_nblocked_matches_xla(monkeypatch):
                                rtol=0, atol=5e-4)
     np.testing.assert_allclose(np.asarray(got.pweight),
                                np.asarray(ref.pweight), rtol=0, atol=2e-2)
+
+
+def test_gn_fused_extraction_cache_long_loop(monkeypatch):
+    """max_iter >= 32 enables the cross-iteration extraction cache in the
+    batch-blocked kernel (the op-4 coarse-level configuration); results
+    must still match the XLA path exactly."""
+    h, w, psz = 40, 48, 8
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=32, min_iter=32, p_samp_s=psz,
+                    patove=0.4, costfct=0, patnorm=1, noc=1, nop=2,
+                    usetvref=False)
+    spec = make_level_spec(0, w, h, prm)
+    img_a, img_b = _make_pair(h, w, c=1)
+    p_init = jnp.zeros((spec.nopatches, 2), jnp.float32)
+    want = _run(prm, spec, img_a, img_b, p_init, False, monkeypatch)
+    got = _run(prm, spec, img_a, img_b, p_init, True, monkeypatch)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               rtol=1e-4, atol=2e-3)
