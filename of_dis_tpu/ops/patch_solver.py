@@ -733,7 +733,11 @@ class _TileGeom(NamedTuple):
 def _pick_tile_geom(spec: LevelSpec, params: DISParams):
     """Choose the tile/window geometry for a level, or None when no
     candidate fits the VMEM budget (then the caller falls back to the
-    unwindowed nb-blocked kernel / XLA path)."""
+    unwindowed nb-blocked kernel / XLA path).
+
+    Known limitation: no candidate fits for noc=3 — the banded lhs scratch
+    is w1*3*wbnd rows x nbands*2*xb columns (>4.8MB bf16 at any viable
+    window), so RGB fine levels keep the legacy paths."""
     psz, noc = params.p_samp_s, params.noc
     w1 = psz + 1
     w1c = w1 * noc

@@ -129,3 +129,32 @@ def test_window_validity_smooth_flow_op3_geometry():
             spec, prm, geom, jnp.swapaxes(jnp.asarray(p_init), 0, 1)[None],
             ptr, 1)
         assert bool(valid), sl
+
+
+def test_tiled_depth_right_camera(monkeypatch):
+    """The tiled kernel under the camlr=1 (right camera) spec — the
+    backward grid of the depth fbcon pairing — must clamp the disparity
+    sign the other way and match the XLA path."""
+    psz = 8
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=8, min_iter=8, p_samp_s=psz,
+                    patove=0.4, costfct=0, patnorm=1, noc=1, nop=1,
+                    usetvref=False)
+    spec = make_level_spec(0, W, H, prm, camlr=1)
+    # fractional shift well below outlierthresh (= psz/2): integer shifts
+    # park positions exactly on ceil cell boundaries where extraction
+    # float noise flips cells; boundary/threshold patches take chaotic
+    # paths either way
+    img_a, img_b = _make_pair(H, W, shift=(2.3, 0.0))
+    from tests.test_patch_solver import _level_data as _ld
+    im_a, dx_a, dy_a, im_b = _ld(img_a, img_b, psz)
+    tpl = patch_solver.extract_templates(spec, prm, jnp.asarray(im_a),
+                                         jnp.asarray(dx_a),
+                                         jnp.asarray(dy_a))
+    n = spec.nopatches
+    p_init = jnp.zeros((n, 1), jnp.float32)
+    want = _run(prm, spec, im_b, tpl, p_init, "xla", monkeypatch)
+    got = _run(prm, spec, im_b, tpl, p_init, "tiled", monkeypatch)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               rtol=1e-4, atol=2e-3)
+    # right camera: disparities clamped nonnegative
+    assert np.all(np.asarray(got.p) >= 0.0)
