@@ -86,7 +86,13 @@ def load_init_flow(path, nop, pad_lv, full_h, full_w, sc_f):
     f = io.read_flo(path)[:, :, :nop]
     ft, fb, fl, fr = pad_amounts(f.shape[1], f.shape[0], pad_lv)
     f = np.pad(f, ((ft, fb), (fl, fr), (0, 0)), mode="edge")
-    assert f.shape[:2] == (full_h, full_w), (f.shape, full_h, full_w)
+    if f.shape[:2] != (full_h, full_w):
+        # resolution-mismatched init flow (the reference assumes matching
+        # resolution, run_dense.cpp:362; accept it anyway): bilinear-resize
+        # to the padded frame size first, values untouched
+        f = np.asarray(pyramid.resize_linear(
+            jnp.asarray(f.transpose(2, 0, 1)), full_h,
+            full_w)).transpose(1, 2, 0)
     k = 2 ** (sc_f + 1)
     f = jnp.asarray((f * (1.0 / k)).transpose(2, 0, 1))
     f = pyramid._resize_mm(f, full_h // k, full_w // k, box=k)

@@ -44,10 +44,21 @@ def set_spatial_tv_mesh(mesh, min_bytes: Optional[int] = None,
                         axis_name: str = "rows") -> None:
     """Register (or clear, with mesh=None) a 1-D device mesh for row-sharded
     TV refinement of levels whose working set exceeds min_bytes (default
-    ~one v5e chip's comfortable share: 4 GB)."""
+    ~one v5e chip's comfortable share: 4 GB).
+
+    The routing decision is trace-time state invisible to the jit cache
+    keys, so the model entry points' caches are dropped here — otherwise a
+    same-shape call compiled before registration would silently keep its
+    baked-in (un)routed executable."""
     _SPATIAL_TV["mesh"] = mesh
     _SPATIAL_TV["min_bytes"] = (4 << 30) if min_bytes is None else min_bytes
     _SPATIAL_TV["axis_name"] = axis_name
+    for fn in (dis_flow, dis_flow_batched, dis_sequence,
+               dis_sequence_batched):
+        try:
+            fn.clear_cache()
+        except AttributeError:
+            pass
 
 
 def _spatial_tv_route(b: int, h: int, w: int, nop: int):

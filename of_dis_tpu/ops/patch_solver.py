@@ -597,11 +597,10 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
             # `active` rides the carry as a 0/1 f32 mask: Mosaic cannot
             # legalize i1 vectors in scf.for operands
             if use_cache:
-                (p, pdiff, pweight, active_f, mares, mares_old, dpn_init,
+                (p, pdiff, pweight, active_f, mares, dpn_init,
                  cache) = carry
             else:
-                (p, pdiff, pweight, active_f, mares, mares_old,
-                 dpn_init) = carry
+                (p, pdiff, pweight, active_f, mares, dpn_init) = carry
                 cache = None
             active = active_f > 0.5
             it1 = i + 1
@@ -644,11 +643,11 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
             return (sel(p_new, p), sel(pdiff_new, pdiff),
                     sel(pweight_new, pweight),
                     (active & active_new).astype(jnp.float32),
-                    sel(mares_new, mares), sel(mares, mares_old),
+                    sel(mares_new, mares),
                     sel(dpn_init_new, dpn_init)) + tail
 
         carry0 = (p_init, pdiff0, pweight0, active0.astype(jnp.float32),
-                  mares0, jnp.full((bb, n), 1e5, jnp.float32),
+                  mares0,
                   jnp.full((bb, n), 1e-10, jnp.float32)) + (
                       (cache0,) if use_cache else ())
         out = jax.lax.fori_loop(0, params.max_iter, body, carry0)
@@ -1330,7 +1329,7 @@ def _gn_xla_path(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
 
     state = dict(
         p=p_init_t, pdiff=pdiff0, pweight=pweight0, active=active0,
-        mares=mares0, mares_old=jnp.full((b, n), 1e5, jnp.float32),
+        mares=mares0,
         dpn_init=jnp.full((b, n), 1e-10, jnp.float32),
         it=jnp.asarray(0, jnp.int32),
     )
@@ -1384,7 +1383,6 @@ def _gn_xla_path(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
             pweight=sel(pweight_new, s["pweight"]),
             active=act & active_new,
             mares=sel(mares_new, s["mares"]),
-            mares_old=sel(s["mares"], s["mares_old"]),
             dpn_init=sel(dpn_init, s["dpn_init"]),
             it=it1,
         )

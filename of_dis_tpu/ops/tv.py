@@ -301,11 +301,13 @@ def warp_image_batched(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
     h_, w_ = wx.shape[-2], wx.shape[-1]
     b_ = wx.shape[0]
     bbc = min(bb if bb > 0 else 1, b_)
-    while bbc > 1 and bbc * h_ * w_ * 4 * 9 * 2 >= 12 * 1024 * 1024:
+    from of_dis_tpu.ops.patch_solver import _vmem_cap
+    coeffs_cap = _vmem_cap(12 * 1024 * 1024)
+    while bbc > 1 and bbc * h_ * w_ * 4 * 9 * 2 >= coeffs_cap:
         bbc -= 1
     while b_ % bbc:
         bbc -= 1
-    if use_pallas and h_ * w_ * 4 * 9 * 2 < 12 * 1024 * 1024:
+    if use_pallas and h_ * w_ * 4 * 9 * 2 < coeffs_cap:
         coeffs = _warp_coeffs_pallas(wx, wy, bbc)
     else:
         coeffs = _warp_coeffs(wx, wy)
@@ -765,7 +767,12 @@ def sor_de_rb(du, a11, b1, wh, wv, iterations: int, omega: float):
 # Fields resident in VMEM for the fused Pallas TV kernel: ~30 (H,W) planes
 # (derivatives, system coefficients, weights, solver state). Levels whose
 # working set exceeds this budget fall back to the pure-XLA path.
-_PALLAS_VMEM_BUDGET = 12 * 1024 * 1024
+def _pallas_vmem_budget() -> int:
+    from of_dis_tpu.ops.patch_solver import _vmem_cap
+    return _vmem_cap(12 * 1024 * 1024)
+
+
+_PALLAS_VMEM_BUDGET = _pallas_vmem_budget()
 
 
 def _on_tpu() -> bool:

@@ -140,3 +140,30 @@ def test_init_flow_ingestion_box_mean(tmp_path):
     assert np.all(np.abs(interior - 10.0 / 2 / 8) < 10.0 / 8 / 8 + 1e-5), (
         interior.min(), interior.max())
     assert np.allclose(got[..., 1], 0.0)
+
+
+def test_cli_init_flow_resolution_mismatch(tmp_path):
+    """--init-flow with a flow file at a different resolution than the
+    frames must not die (review finding: a bare assert replaced the old
+    any-resolution ingestion): it bilinear-resizes to the frame size."""
+    import cv2
+    import numpy as np
+    from of_dis_tpu import cli
+    from of_dis_tpu.utils import io as uio
+    rng = np.random.default_rng(3)
+    big = cv2.GaussianBlur((rng.random((160, 220)) * 255).astype(np.float32),
+                           (9, 9), 2.5)
+    a = big[10:138, 10:170]
+    b = cv2.warpAffine(big, np.float32([[1, 0, 2.0], [0, 1, 1.0]]),
+                       (220, 160))[10:138, 10:170]
+    p1, p2 = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    cv2.imwrite(p1, a.astype(np.uint8))
+    cv2.imwrite(p2, b.astype(np.uint8))
+    half = np.full((64, 80, 2), 1.0, np.float32)
+    hp = str(tmp_path / "half.flo")
+    uio.write_flo(hp, half)
+    out = str(tmp_path / "o.flo")
+    cli.main(["run_OF_INT", p1, p2, out, "1", "--quiet", "--init-flow", hp])
+    f = uio.read_flo(out)
+    med = np.median(f[20:-20, 20:-20].reshape(-1, 2), axis=0)
+    assert abs(med[0] - 2.0) < 0.5 and abs(med[1] - 1.0) < 0.5, med

@@ -86,3 +86,25 @@ def test_model_level_spatial_tv_dispatch():
         dis.set_spatial_tv_mesh(None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_mesh_registration_drops_jit_caches():
+    """The spatial-TV route is trace-time state: registering/clearing the
+    mesh must drop the jitted entry points' caches so a same-shape call
+    re-traces with the new routing (review finding: a warmup call before
+    set_spatial_tv_mesh otherwise pins the unrouted executable)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from of_dis_tpu.models import dis
+    from of_dis_tpu.params import DISParams
+
+    h, w = 32, 64
+    params = DISParams(sc_f=1, sc_l=0, max_iter=2, min_iter=2, p_samp_s=8,
+                       patove=0.4, noc=1, nop=2, usetvref=True)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.random((1, 1, h, w)), jnp.float32)
+    b = jnp.asarray(rng.random((1, 1, h, w)), jnp.float32)
+    dis.dis_flow_batched(a, b, params, w, h).block_until_ready()
+    assert dis.dis_flow_batched._cache_size() >= 1
+    dis.set_spatial_tv_mesh(None)
+    assert dis.dis_flow_batched._cache_size() == 0
