@@ -749,6 +749,8 @@ def _pick_tile_geom(spec: LevelSpec, params: DISParams):
     # ordered by K = nbands*2*xb (the extraction dot's contraction size):
     # yb=72 leaves 11px of within-tile flow-spread tolerance in y — enough
     # for coarse-to-fine flows — at one band less than yb=80
+    # (32,4,256,56) measured only +1.7% (the kernel is VPU/skip-bound,
+    # not dot-bound) at 8x tighter x-spread tolerance — robustness wins
     for tx, ty, xb, yb in ((16, 8, 256, 72), (16, 8, 256, 80),
                            (32, 4, 256, 56), (32, 4, 384, 56),
                            (64, 2, 384, 48), (128, 1, 512, 40)):
