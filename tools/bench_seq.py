@@ -1,0 +1,69 @@
+"""Sequence-mode (video serving) throughput: S streams advance in lockstep
+with warm-start chaining (dis_sequence_batched).
+
+Warm starts speed convergence, which raises the GN extraction-cache hit
+rate — at op-3 this measures ~9% faster per pair than cold pairs.
+
+Usage: python tools/bench_seq.py [op_point] [streams] [frames]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+    from of_dis_tpu.models import dis
+    from of_dis_tpu.ops import pyramid
+    from of_dis_tpu.params import op_point_params
+
+    op = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    s = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    t = int(sys.argv[3]) if len(sys.argv) > 3 else 9
+    h_org, w_org = 436, 1024
+    params = op_point_params(w_org, op, nop=2, noc=1, verbosity=0)
+    rng = np.random.default_rng(0)
+    base = rng.random((s, 1, h_org, w_org)).astype(np.float32) * 255.0
+    try:
+        import cv2
+        base = np.stack([[cv2.GaussianBlur(im[0], (7, 7), 2.0)]
+                         for im in base])
+    except ImportError:
+        pass
+    frames = np.stack([np.roll(base, shift=(k, 2 * k), axis=(2, 3))
+                       for k in range(t)])          # (T, S, C, H, W)
+    pad = jax.vmap(jax.vmap(
+        lambda x: pyramid.pad_to_divisible(x, params.sc_f)))
+    fr = pad(jnp.asarray(frames))
+    fh, fw = int(fr.shape[3]), int(fr.shape[4])
+
+    def sync(x):
+        return float(np.asarray(jnp.sum(x[:, :, :, ::64, ::64])))
+
+    t0 = time.perf_counter()
+    out = dis.dis_sequence_batched(fr, params, fw, fh)
+    sync(out)
+    print(f"compile+warm {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    out = dis.dis_sequence_batched(fr, params, fw, fh)
+    sync(out)
+    dt = time.perf_counter() - t0
+    pairs = s * (t - 1)
+    print(f"seq op{op} S={s} T={t}: {pairs / dt:.1f} pairs/s "
+          f"({dt * 1e3 / pairs:.1f} ms/pair)")
+
+
+if __name__ == "__main__":
+    main()
