@@ -53,7 +53,7 @@ coarser-scale flow that pushes a patch fully outside the image).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -91,9 +91,6 @@ def grid_ref_points(spec: LevelSpec) -> jnp.ndarray:
     i = x*noph + y (reference: patchgrid.cpp:61-75)."""
     xs, ys = grid_points(spec)
     return jnp.asarray(np.stack([xs, ys], axis=1), dtype=jnp.float32)
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=64)

@@ -294,46 +294,52 @@ def warp_image_batched(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
     with a lax.cond fallback to quantized packed-pair gathers
     (_warp_gather_packed) otherwise.
     """
-    # the fused coeffs kernel's (bbc,H,W) blocks x 9 fields must fit the
-    # 16MB VMEM stack (measured 18.6M OOM at op-4 L0 with bbc=1): shrink
-    # the batch block independently of the TV kernel's, and only fall back
-    # to XLA's fused chain when even one pair's field doesn't fit
-    h_, w_ = wx.shape[-2], wx.shape[-1]
-    b_ = wx.shape[0]
-    bbc = min(bb if bb > 0 else 1, b_)
-    from of_dis_tpu.ops.patch_solver import _vmem_cap
-    coeffs_cap = _vmem_cap(12 * 1024 * 1024)
-    while bbc > 1 and bbc * h_ * w_ * 4 * 9 * 2 >= coeffs_cap:
-        bbc -= 1
-    while b_ % bbc:
-        bbc -= 1
-    if use_pallas and h_ * w_ * 4 * 9 * 2 < coeffs_cap:
-        coeffs = _warp_coeffs_pallas(wx, wy, bbc)
-    else:
-        coeffs = _warp_coeffs(wx, wy)
     if use_pallas and _use_mxu_warp(src.shape[0], src.shape[1],
                                     src.shape[2], src.shape[3], horiz_only):
+        # the fused coeffs kernel's (bbc,H,W) blocks x 9 fields must fit
+        # the 16MB VMEM stack (measured 18.6M OOM at op-4 L0 with bbc=1):
+        # shrink the batch block independently of the TV kernel's, falling
+        # back to XLA's fused chain when even one pair's field doesn't fit
+        from of_dis_tpu.ops.patch_solver import _vmem_cap
+        h_, w_ = wx.shape[-2], wx.shape[-1]
+        b_ = wx.shape[0]
+        coeffs_cap = _vmem_cap(12 * 1024 * 1024)
+        bbc = min(bb if bb > 0 else 1, b_)
+        while bbc > 1 and bbc * h_ * w_ * 4 * 9 * 2 >= coeffs_cap:
+            bbc -= 1
+        while b_ % bbc:
+            bbc -= 1
+        if h_ * w_ * 4 * 9 * 2 < coeffs_cap:
+            coeffs = _warp_coeffs_pallas(wx, wy, bbc)
+        else:
+            coeffs = _warp_coeffs(wx, wy)
         if horiz_only:
             return warp_image_mxu_h(src, coeffs)
         return warp_image_mxu(src, coeffs)
-    x1, x2, y1, y2, dx, dy, mask = coeffs
-
-    c = src.shape[1]
-    dxe = dx[:, None]
-    dye = dy[:, None]
 
     if use_pallas:
         # large levels: banded shifted-slab warp when displacements fit the
-        # band (always, after coarse-to-fine init), gathers otherwise
+        # band (always, after coarse-to-fine init), gathers otherwise. Only
+        # the in-bounds mask is computed on the happy path — the full
+        # corner/weight coefficients are needed only by the gather branch,
+        # which builds them itself when (rarely) taken.
         r = _BANDED_WARP_R
         valid = _banded_warp_valid(wx, wy, r, horiz_only)
+        mask = _warp_coeffs(wx, wy)[-1]
         out = jax.lax.cond(
             valid,
             lambda _: warp_image_banded(src, wx, wy, r,
                                         horiz_only=horiz_only),
-            lambda _: _warp_gather_packed(src, wx, wy, coeffs),
+            lambda _: _warp_gather_packed(src, wx, wy,
+                                          _warp_coeffs(wx, wy)),
             operand=None)
         return out, mask
+
+    coeffs = _warp_coeffs(wx, wy)
+    x1, x2, y1, y2, dx, dy, mask = coeffs
+    c = src.shape[1]
+    dxe = dx[:, None]
+    dye = dy[:, None]
 
     def one(s, iy_, ix_):
         # per-channel 2D gathers: the extra leading C dim switches
