@@ -18,6 +18,7 @@ Golden generation (documented for regeneration): each binary was invoked as
   run_OF_INT a.png b.png of_int_op4.flo 4
   run_OF_RGB ac.png bc.png of_rgb_op3.flo 3
   run_OF_GRD a.png b.png of_grd_op2.flo 2      # SELECTCHANNEL=2 build
+  run_OF_GRD a.png b.png of_grd_op3.flo 3
 
 Binaries reproducible via tools/build_reference.sh (the rebuilt run_OF_INT
 regenerates of_int_op2.flo byte-identically).
@@ -63,13 +64,14 @@ def test_of_rgb_op3(tmp_path):
     assert ratio < 0.01, ratio
 
 
-def test_of_grd_op2(tmp_path):
+@pytest.mark.parametrize("op", [2, 3])
+def test_of_grd_op_points(tmp_path, op):
     """Gradient-magnitude input mode (SELECTCHANNEL=2, run_dense.cpp:139-148):
-    golden from the reference compiled with -DSELECTCHANNEL=2."""
+    goldens from the reference compiled with -DSELECTCHANNEL=2."""
     out = str(tmp_path / "out.flo")
-    _run("run_OF_GRD", "a.png", "b.png", out, ["2", "--quiet"])
+    _run("run_OF_GRD", "a.png", "b.png", out, [str(op), "--quiet"])
     ratio = _epe_ratio(io.read_flo(out),
-                       io.read_flo(os.path.join(G, "of_grd_op2.flo")))
+                       io.read_flo(os.path.join(G, f"of_grd_op{op}.flo")))
     assert ratio < 0.01, ratio
 
 
