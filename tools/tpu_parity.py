@@ -1,0 +1,83 @@
+"""Golden parity ON THE TPU: run the CLI modes on the real chip against the
+committed reference-binary goldens and print the EPE ratios.
+
+The pytest golden suite runs on CPU (exact XLA paths); this checks that the
+TPU kernels (bf16 hi/lo extraction, banded warp, red-black SOR, Mosaic
+lowerings) stay inside the same <=1% budget. Run on TPU; output is the
+SMOKE-style artifact recorded per round.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+    from of_dis_tpu import cli
+    from of_dis_tpu.utils import io
+
+    g = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "goldens")
+
+    def epe_ratio(ours, ref):
+        d = np.hypot(ours[..., 0] - ref[..., 0], ours[..., 1] - ref[..., 1])
+        return d.mean() / np.hypot(ref[..., 0], ref[..., 1]).mean()
+
+    cases = [
+        # op-1 matches to float noise on CPU (sweep-order-free pipeline)
+        # but the TPU extraction reconstructs f32 from bf16 hi/lo planes
+        # (~1e-3 absolute), so it gets the standard 1% budget here
+        ("OF_INT op1", "run_OF_INT", "a.png", "b.png", "1",
+         "of_int_op1.flo", 0.01),
+        ("OF_INT op2", "run_OF_INT", "a.png", "b.png", "2",
+         "of_int_op2.flo", 0.01),
+        ("OF_INT op3", "run_OF_INT", "a.png", "b.png", "3",
+         "of_int_op3.flo", 0.01),
+        ("OF_INT op4", "run_OF_INT", "a.png", "b.png", "4",
+         "of_int_op4.flo", 0.01),
+        ("OF_RGB op2", "run_OF_RGB", "ac.png", "bc.png", "2",
+         "of_rgb_op2.flo", 0.01),
+        ("OF_GRD op2", "run_OF_GRD", "a.png", "b.png", "2",
+         "of_grd_op2.flo", 0.01),
+    ]
+    fails = 0
+    for name, mode, i1, i2, op, golden, budget in cases:
+        out = f"/tmp/tpu_parity_{golden}"
+        cli.main([mode, os.path.join(g, i1), os.path.join(g, i2), out, op,
+                  "--quiet"])
+        r = epe_ratio(io.read_flo(out), io.read_flo(os.path.join(g, golden)))
+        ok = r < budget
+        fails += 0 if ok else 1
+        print(f"{name:14s} {'OK' if ok else 'FAIL'}  epe_ratio={r:.5f} "
+              f"(budget {budget})", flush=True)
+
+    # depth (.pfm, mean-abs ratio)
+    for name, mode, i1, i2, golden in [
+            ("DE_INT op2", "run_DE_INT", "a.png", "bs.png", "de_int_op2.pfm"),
+            ("DE_RGB op2", "run_DE_RGB", "asc.png", "bsc.png",
+             "de_rgb_op2.pfm")]:
+        out = f"/tmp/tpu_parity_{golden}"
+        cli.main([mode, os.path.join(g, i1), os.path.join(g, i2), out, "2",
+                  "--quiet"])
+        ours = io.read_pfm(out)
+        ref = io.read_pfm(os.path.join(g, golden))
+        r = np.abs(ours - ref).mean() / np.abs(ref).mean()
+        ok = r < 0.01
+        fails += 0 if ok else 1
+        print(f"{name:14s} {'OK' if ok else 'FAIL'}  ratio={r:.5f} "
+              f"(budget 0.01)", flush=True)
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
