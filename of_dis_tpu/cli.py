@@ -89,10 +89,16 @@ def load_init_flow(path, nop, pad_lv, full_h, full_w, sc_f):
     if f.shape[:2] != (full_h, full_w):
         # resolution-mismatched init flow (the reference assumes matching
         # resolution, run_dense.cpp:362; accept it anyway): bilinear-resize
-        # to the padded frame size first, values untouched
+        # to the padded frame size, rescaling the displacement values from
+        # the init flow's pixel units to frame pixels (x by the width
+        # factor, y by the height factor; nop=1 disparity is x-only)
+        sx = full_w / f.shape[1]
+        sy = full_h / f.shape[0]
         f = np.asarray(pyramid.resize_linear(
             jnp.asarray(f.transpose(2, 0, 1)), full_h,
             full_w)).transpose(1, 2, 0)
+        scale = np.asarray([sx, sy][:nop], np.float32)
+        f = f * scale
     k = 2 ** (sc_f + 1)
     f = jnp.asarray((f * (1.0 / k)).transpose(2, 0, 1))
     f = pyramid._resize_mm(f, full_h // k, full_w // k, box=k)

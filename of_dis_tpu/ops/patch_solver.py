@@ -80,9 +80,11 @@ class PatchResult(NamedTuple):
     p: jnp.ndarray        # (N, nop) final displacement parameters
     pt: jnp.ndarray       # (N, 2) final patch position (pt_ref + displacement)
     pweight: jnp.ndarray  # (P, P, C, N) final absolute-error weights
-    # () diagnostic only: the XLA path reports the while-loop trip count;
-    # the fused Pallas path runs a masked fixed-trip loop and reports
-    # max_iter (identical results either way — see _gn_fused_pallas)
+    # () diagnostic: the number of Gauss-Newton iterations that ran with at
+    # least one active patch — the XLA while-loop's trip count. The fused /
+    # tiled Pallas kernels carry the same counter through their masked
+    # fixed-trip loops (max over blocks/tiles), so the value is
+    # backend-identical.
     iters: jnp.ndarray
 
 
@@ -103,14 +105,17 @@ def _template_sel_mats(spec: LevelSpec, psz: int):
     xbase = spec.offsetw + lb + spec.pad
     hp = spec.padded_height
     wp = spec.padded_width
-    c_all = np.zeros((psz * spec.nopw, wp), np.float32)
+    # Cached as uint8 (densified to f32 at trace time in _templates_mm):
+    # the dense f32 forms are ~10-15 MB per fine-level entry and the cache
+    # would retain up to maxsize of them for the life of the process.
+    c_all = np.zeros((psz * spec.nopw, wp), np.uint8)
     for i in range(psz):
         for x in range(spec.nopw):
-            c_all[i * spec.nopw + x, xbase + x * spec.steps + i] = 1.0
-    r_all = np.zeros((psz, spec.noph, hp), np.float32)
+            c_all[i * spec.nopw + x, xbase + x * spec.steps + i] = 1
+    r_all = np.zeros((psz, spec.noph, hp), np.uint8)
     for j in range(psz):
         for y in range(spec.noph):
-            r_all[j, y, ybase + y * spec.steps + j] = 1.0
+            r_all[j, y, ybase + y * spec.steps + j] = 1
     return c_all, r_all
 
 
@@ -128,10 +133,12 @@ def _templates_mm(spec: LevelSpec, psz: int, field: jnp.ndarray):
     nopw, noph = spec.nopw, spec.noph
     hi = jax.lax.Precision.HIGHEST
     imt = jnp.swapaxes(field, 1, 2)                      # (c, Wp, Hp)
-    u = jnp.einsum("mw,cwh->cmh", jnp.asarray(c_all), imt, precision=hi)
+    u = jnp.einsum("mw,cwh->cmh", jnp.asarray(c_all, jnp.float32), imt,
+                   precision=hi)
     u = u.reshape(c, psz, nopw, hp)
     u = jnp.transpose(u, (1, 0, 2, 3)).reshape(psz * c * nopw, hp)
-    g = jnp.einsum("mh,jyh->jmy", u, jnp.asarray(r_all), precision=hi)
+    g = jnp.einsum("mh,jyh->jmy", u, jnp.asarray(r_all, jnp.float32),
+                   precision=hi)
     # (j, (i, c, x), y) -> (D = (j, i, c), N = (x, y))
     g = g.reshape(psz, psz * c, nopw, noph)
     return g.reshape(psz * psz * c, nopw * noph)
@@ -401,13 +408,15 @@ def _gn_windows(psz: int, hp: int):
     return wb, hpb, nbands
 
 
-def _pick_gn_bb(b: int, w1: int, c: int, hpb: int, wp: int, d: int, n: int):
+def _pick_gn_bb(b: int, w1: int, c: int, hpb: int, wp: int, d: int, n: int,
+                use_cache: bool = True):
     """Batch block for the fused GN kernel, or None when one pair's working
-    set already exceeds the VMEM budget."""
+    set already exceeds the VMEM budget. The extraction-cache carry rows
+    only count when the kernel will actually carry them (long loops)."""
     wb = _round_up(w1 - 1 + 8, 8)
     per = (2 * w1 * c * hpb * wp * 2      # lhs hi/lo blocks (bf16)
            + 2 * w1 * c * hpb * n * 4    # t + shifted copies (transient)
-           + w1 * c * wb * n * 4         # cached aligned rows (carry)
+           + (w1 * c * wb * n * 4 if use_cache else 0)  # cached rows (carry)
            + 7 * d * n * 4)              # tmpl/tdx/tdy + carry + outputs
     cap = _vmem_cap(10 * 1024 * 1024)
     for cand in (8, 4, 2, 1):
@@ -416,7 +425,8 @@ def _pick_gn_bb(b: int, w1: int, c: int, hpb: int, wp: int, d: int, n: int):
     return None
 
 
-def _pick_gn_nb(w1: int, c: int, hpb: int, wp: int, d: int, n: int):
+def _pick_gn_nb(w1: int, c: int, hpb: int, wp: int, d: int, n: int,
+                use_cache: bool = True):
     """Patch block for the N-blocked fused kernel (large op-3/4 levels where
     even a single pair's full patch set exceeds VMEM): largest multiple of
     128 whose per-program working set fits alongside the shared plane
@@ -432,7 +442,7 @@ def _pick_gn_nb(w1: int, c: int, hpb: int, wp: int, d: int, n: int):
     for nb in (1024, 512, 384, 256, 128):
         per = (planes
                + 2 * w1 * c * hpb * nb * 4
-               + w1 * c * wb * nb * 4
+               + (w1 * c * wb * nb * 4 if use_cache else 0)
                + 7 * d * nb * 4)
         if per < cap:
             return nb
@@ -484,7 +494,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
     use_cache = _use_extract_cache() and params.max_iter >= 32
 
     def kernel(lh_ref, tm_ref, tx_ref, ty_ref, he_ref, p0_ref,
-               pr_ref, po_ref, pw_ref):
+               pr_ref, po_ref, pw_ref, it_ref):
         tmpl = tm_ref[:]
         tdx = tx_ref[:]
         tdy = ty_ref[:]
@@ -594,12 +604,16 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
             # `active` rides the carry as a 0/1 f32 mask: Mosaic cannot
             # legalize i1 vectors in scf.for operands
             if use_cache:
-                (p, pdiff, pweight, active_f, mares, dpn_init,
+                (p, pdiff, pweight, active_f, mares, dpn_init, itcnt,
                  cache) = carry
             else:
-                (p, pdiff, pweight, active_f, mares, dpn_init) = carry
+                (p, pdiff, pweight, active_f, mares, dpn_init,
+                 itcnt) = carry
                 cache = None
             active = active_f > 0.5
+            # iterations entered with >=1 active patch == the XLA
+            # while-loop's trip count (diagnostic)
+            itcnt = itcnt + jnp.max(active_f)
             it1 = i + 1
             rhs0 = jnp.sum(tdx * pdiff, axis=1)
             if nop == 2:
@@ -641,15 +655,16 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                     sel(pweight_new, pweight),
                     (active & active_new).astype(jnp.float32),
                     sel(mares_new, mares),
-                    sel(dpn_init_new, dpn_init)) + tail
+                    sel(dpn_init_new, dpn_init), itcnt) + tail
 
         carry0 = (p_init, pdiff0, pweight0, active0.astype(jnp.float32),
                   mares0,
-                  jnp.full((bb, n), 1e-10, jnp.float32)) + (
-                      (cache0,) if use_cache else ())
+                  jnp.full((bb, n), 1e-10, jnp.float32),
+                  jnp.float32(0.0)) + ((cache0,) if use_cache else ())
         out = jax.lax.fori_loop(0, params.max_iter, body, carry0)
         po_ref[:] = out[0]
         pw_ref[:] = out[2]
+        it_ref[0, 0] = out[6].astype(jnp.int32)
 
     if nb:
         # N-blocked path (one pair per program, grid over patch blocks
@@ -669,6 +684,9 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
         blk_ptr = pl.BlockSpec((1, 2, n), lambda j: (0, 0, j),
                                memory_space=pltpu.VMEM)
 
+        blk_it = pl.BlockSpec((1, 1), lambda j: (j, 0),
+                              memory_space=pltpu.SMEM)
+
         def one(xs):
             l1, tm1, tx1, ty1, he1, p01 = xs
             return pl.pallas_call(
@@ -676,16 +694,17 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                 grid=(n_tot // n,),
                 out_shape=(
                     jax.ShapeDtypeStruct((1, nop, n_tot), jnp.float32),
-                    jax.ShapeDtypeStruct((1, d, n_tot), jnp.float32)),
+                    jax.ShapeDtypeStruct((1, d, n_tot), jnp.float32),
+                    jax.ShapeDtypeStruct((n_tot // n, 1), jnp.int32)),
                 in_specs=[blk_lhs, blk_d, blk_d, blk_d, blk_h, blk_p,
                           blk_ptr],
-                out_specs=(blk_p, blk_d),
+                out_specs=(blk_p, blk_d, blk_it),
             )(l1[None], tm1[None], tx1[None], ty1[None], he1[None],
               p01[None], pt_ref_t)
 
-        p_out, pw_out = jax.lax.map(
+        p_out, pw_out, it_out = jax.lax.map(
             one, (lhs, tpl.tmpl, tpl.tdx, tpl.tdy, tpl.hes, p_init_t))
-        return p_out[:, 0], pw_out[:, 0]
+        return p_out[:, 0], pw_out[:, 0], jnp.max(it_out)
 
     # single-block path: grid over batch blocks only
     blk_lhs = pl.BlockSpec((bb, m_rows, wp2), lambda i: (i, 0, 0),
@@ -698,17 +717,20 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                          memory_space=pltpu.VMEM)
     blk_ptr = pl.BlockSpec((1, 2, n), lambda i: (0, 0, 0),
                            memory_space=pltpu.VMEM)
-    p_out, pw_out = pl.pallas_call(
+    blk_it = pl.BlockSpec((1, 1), lambda i: (i, 0),
+                          memory_space=pltpu.SMEM)
+    p_out, pw_out, it_out = pl.pallas_call(
         kernel,
         grid=(b // bb,),
         out_shape=(jax.ShapeDtypeStruct((b, nop, n_tot), jnp.float32),
-                   jax.ShapeDtypeStruct((b, d, n_tot), jnp.float32)),
+                   jax.ShapeDtypeStruct((b, d, n_tot), jnp.float32),
+                   jax.ShapeDtypeStruct((b // bb, 1), jnp.int32)),
         in_specs=[blk_lhs, blk_d, blk_d, blk_d, blk_h, blk_p,
                   blk_ptr],
-        out_specs=(blk_p, blk_d),
+        out_specs=(blk_p, blk_d, blk_it),
     )(lhs, tpl.tmpl, tpl.tdx, tpl.tdy, tpl.hes, p_init_t,
       pt_ref_t)
-    return p_out, pw_out
+    return p_out, pw_out, jnp.max(it_out)
 
 
 class _TileGeom(NamedTuple):
@@ -884,7 +906,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
     novals = float(params.novals)
 
     def kernel(xs_ref, ys_ref, planes_ref, tm_ref, tx_ref, ty_ref, he_ref,
-               p0_ref, pr_ref, po_ref, pw_ref, win, lhs, sem):
+               p0_ref, pr_ref, po_ref, pw_ref, it_ref, win, lhs, sem):
         bi_ = pl.program_id(0)
         ti_ = pl.program_id(1)
         # alignment hints: Mosaic must prove the DMA offsets divide the
@@ -1000,8 +1022,10 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                    & (mares0 > params.res_thresh))
 
         def body(i, carry):
-            p, pdiff, pweight, active_f, mares, dpn_init, cache = carry
+            (p, pdiff, pweight, active_f, mares, dpn_init, itcnt,
+             cache) = carry
             active = active_f > 0.5
+            itcnt = itcnt + jnp.max(active_f)
             it1 = i + 1
             rhs0 = jnp.sum(tdx * pdiff, axis=0)
             if nop == 2:
@@ -1042,13 +1066,15 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                     sel(pweight_new, pweight),
                     (active & active_new).astype(jnp.float32),
                     sel(mares_new, mares), sel(dpn_init_new, dpn_init),
-                    cache_new)
+                    itcnt, cache_new)
 
         carry0 = (p_init, pdiff0, pweight0, active0.astype(jnp.float32),
-                  mares0, jnp.full((nb,), 1e-10, jnp.float32), cache0)
+                  mares0, jnp.full((nb,), 1e-10, jnp.float32),
+                  jnp.float32(0.0), cache0)
         out = jax.lax.fori_loop(0, params.max_iter, body, carry0)
         po_ref[0] = out[0]
         pw_ref[0] = out[2]
+        it_ref[0, 0] = out[6].astype(jnp.int32)
 
     blk_d = pl.BlockSpec((1, d, nb), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM)
@@ -1058,18 +1084,21 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                          memory_space=pltpu.VMEM)
     blk_ptr = pl.BlockSpec((1, 2, nb), lambda i, j: (0, 0, j),
                            memory_space=pltpu.VMEM)
+    blk_it = pl.BlockSpec((1, 1), lambda i, j: (i, j),
+                          memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=(b, t_tiles),
         out_shape=(jax.ShapeDtypeStruct((b, nop, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((b, d, n_pad), jnp.float32)),
+                   jax.ShapeDtypeStruct((b, d, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((b, t_tiles), jnp.int32)),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             blk_d, blk_d, blk_d, blk_h, blk_p, blk_ptr,
         ],
-        out_specs=(blk_p, blk_d),
+        out_specs=(blk_p, blk_d, blk_it),
         scratch_shapes=[
             pltpu.VMEM((2, w1c, yb, xb), jnp.bfloat16),
             pltpu.VMEM((w1c * wbnd, kdim), jnp.bfloat16),
@@ -1149,11 +1178,11 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
         tpl_p = PatchTemplates(take(tpl.tmpl), take(tpl.tdx),
                                take(tpl.tdy), take(tpl.hes))
         planes5 = _build_planes5(im_b, psz, noc, geom.hppp, geom.wppp)
-        p_fin, pw = _gn_tiled_pallas(spec, params, geom, planes5, tpl_p,
-                                     p_init_p, ptr_p, xs, ys)
+        p_fin, pw, it_out = _gn_tiled_pallas(spec, params, geom, planes5,
+                                             tpl_p, p_init_p, ptr_p, xs, ys)
         return (_tile_inv(p_fin, spec, geom),
                 _tile_inv(pw, spec, geom),
-                jnp.asarray(params.max_iter, jnp.int32))
+                jnp.max(it_out))
 
     def fallback(_):
         return _gn_xla_path(spec, params, im_b, tpl, p_init_t, pt_ref_t)
@@ -1195,7 +1224,8 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
         # fused whole-loop kernel (see _gn_fused_pallas)
         _, hpb, _ = _gn_windows(psz, hp)
         d = psz * psz * noc
-        bb = _pick_gn_bb(b, psz + 1, noc, hpb, wp, d, n)
+        cache_on = _use_extract_cache() and params.max_iter >= 32
+        bb = _pick_gn_bb(b, psz + 1, noc, hpb, wp, d, n, use_cache=cache_on)
         nb = 0
         if bb is None:
             # large op-3/4 levels: one pair's full patch set busts VMEM.
@@ -1215,7 +1245,8 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
                     iters=iters)
             # legacy unwindowed patch-blocking (e.g. RGB fine levels where
             # the tiled geometry does not fit VMEM)
-            nb = _pick_gn_nb(psz + 1, noc, hpb, wp, d, n)
+            nb = _pick_gn_nb(psz + 1, noc, hpb, wp, d, n,
+                             use_cache=cache_on)
             if nb is not None:
                 bb = 1
         if bb is not None:
@@ -1239,15 +1270,16 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
                 pt_ref_k = pad3(pt_ref_t, v=-1e6)
             lhs = jax.vmap(
                 lambda x: _shifted_planes_banded(x, psz, hpb))(im_b)
-            p_fin, pw = _gn_fused_pallas(spec, params, lhs, tpl_k,
-                                         p_init_k, pt_ref_k, bb, hpb, nb)
+            p_fin, pw, iters = _gn_fused_pallas(spec, params, lhs, tpl_k,
+                                                p_init_k, pt_ref_k, bb,
+                                                hpb, nb)
             p_fin = p_fin[:, :, :n]
             pw = pw[:, :, :n]
             return PatchResult(
                 p=jnp.swapaxes(p_fin, 1, 2),
                 pt=jnp.swapaxes(to_pt(p_fin), 1, 2),
                 pweight=pw.reshape(b, psz, psz, noc, n),
-                iters=jnp.asarray(params.max_iter, jnp.int32))
+                iters=iters)
 
     p_fin, pw, iters = _gn_xla_path(spec, params, im_b, tpl, p_init_t,
                                     pt_ref_t)

@@ -774,11 +774,11 @@ def sor_de_rb(du, a11, b1, wh, wv, iterations: int, omega: float):
 # (derivatives, system coefficients, weights, solver state). Levels whose
 # working set exceeds this budget fall back to the pure-XLA path.
 def _pallas_vmem_budget() -> int:
+    # Read per call (not cached at import) so OF_DIS_TPU_VMEM_SCALE set after
+    # importing this module still takes effect, matching patch_solver._vmem_cap
+    # semantics.
     from of_dis_tpu.ops.patch_solver import _vmem_cap
     return _vmem_cap(12 * 1024 * 1024)
-
-
-_PALLAS_VMEM_BUDGET = _pallas_vmem_budget()
 
 
 def _on_tpu() -> bool:
@@ -793,7 +793,7 @@ def _on_tpu() -> bool:
 
 def _use_pallas(h: int, w: int, noc: int) -> bool:
     nfields = 14 + 8 * noc + 8
-    return _on_tpu() and h * w * 4 * nfields < _PALLAS_VMEM_BUDGET
+    return _on_tpu() and h * w * 4 * nfields < _pallas_vmem_budget()
 
 
 def _of_inner_loop(wx, wy, mask, I, *, noc, quarter_alpha, hd3, hg3,
@@ -860,7 +860,7 @@ def _of_inner_pallas(wx, wy, mask, i_stack, *, noc, quarter_alpha, hd3, hg3,
 def _pick_bb(batch: int, h: int, w: int, noc: int) -> int:
     """Largest divisor of `batch` whose (bB,H,W) working set fits VMEM."""
     nfields = 14 + 8 * noc + 8
-    cap = max(1, _PALLAS_VMEM_BUDGET // (h * w * 4 * nfields))
+    cap = max(1, _pallas_vmem_budget() // (h * w * 4 * nfields))
     bb = min(batch, cap, 8)
     while batch % bb:
         bb -= 1

@@ -153,3 +153,21 @@ def test_gn_fused_extraction_cache_long_loop(monkeypatch):
     got = _run(prm, spec, img_a, img_b, p_init, True, monkeypatch)
     np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
                                rtol=1e-4, atol=2e-3)
+
+
+def test_gn_fused_iters_matches_xla(monkeypatch):
+    """The fused kernel's masked fixed-trip loop must report the same
+    iteration diagnostic as the XLA while-loop's trip count (the number of
+    iterations entered with >=1 active patch). min_iter < max_iter so early
+    stopping actually fires before max_iter."""
+    h, w, psz = 40, 48, 8
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=16, min_iter=1, p_samp_s=psz,
+                    patove=0.4, costfct=0, patnorm=1, noc=1, nop=2,
+                    usetvref=False)
+    spec = make_level_spec(0, w, h, prm)
+    img_a, img_b = _make_pair(h, w, c=1, shift=(0.6, -0.4))
+    p_init = jnp.zeros((spec.nopatches, 2), jnp.float32)
+    want = _run(prm, spec, img_a, img_b, p_init, False, monkeypatch)
+    got = _run(prm, spec, img_a, img_b, p_init, True, monkeypatch)
+    assert 0 < int(want.iters) < prm.max_iter   # early stop must fire
+    assert int(got.iters) == int(want.iters)

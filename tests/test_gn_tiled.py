@@ -36,7 +36,7 @@ def _run(prm, spec, im_b, tpl, p_init, mode, monkeypatch):
             m.setattr(pl, "pallas_call", patched)
             m.setattr(patch_solver, "_use_pallas_bilerp", lambda: True)
             # force the big-level branch on this small test level
-            m.setattr(patch_solver, "_pick_gn_bb", lambda *a: None)
+            m.setattr(patch_solver, "_pick_gn_bb", lambda *a, **k: None)
             assert patch_solver._pick_tile_geom(spec, prm) is not None
         else:
             m.setattr(patch_solver, "_use_pallas_bilerp", lambda: False)
@@ -158,3 +158,23 @@ def test_tiled_depth_right_camera(monkeypatch):
                                rtol=1e-4, atol=2e-3)
     # right camera: disparities clamped nonnegative
     assert np.all(np.asarray(got.p) >= 0.0)
+
+
+def test_tiled_iters_matches_xla(monkeypatch):
+    """The tiled kernel's iteration diagnostic (max over tiles of the
+    active-iteration count) must equal the XLA while-loop trip count."""
+    psz = 8
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=16, min_iter=1, p_samp_s=psz,
+                    patove=0.4, costfct=0, patnorm=1, noc=1, nop=2,
+                    usetvref=False)
+    spec = make_level_spec(0, W, H, prm)
+    img_a, img_b = _make_pair(H, W, c=1, seed=4, shift=(0.6, -0.4))
+    im_a, dx_a, dy_a, im_b = _level_data(img_a, img_b, psz)
+    tpl = patch_solver.extract_templates(spec, prm, jnp.asarray(im_a),
+                                         jnp.asarray(dx_a),
+                                         jnp.asarray(dy_a))
+    p_init = jnp.zeros((spec.nopatches, 2), jnp.float32)
+    want = _run(prm, spec, im_b, tpl, p_init, "xla", monkeypatch)
+    got = _run(prm, spec, im_b, tpl, p_init, "tiled", monkeypatch)
+    assert 0 < int(want.iters) < prm.max_iter
+    assert int(got.iters) == int(want.iters)
