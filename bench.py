@@ -4,6 +4,15 @@ Sintel-shaped (1024x436) grayscale frame pairs.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline north star (BASELINE.md): >=200 frame-pairs/sec/chip on TPU v5e-1.
 
+Motion field: frame 2 is frame 1 backward-warped by a spatially-varying
+subpixel flow (affine ramp + sinusoids, ~2.5/1.0 px mean). A uniform
+integer shift (np.roll, the round-1/2 field) converges in 1-2 iterations
+and then never crosses a pixel cell, letting the fused kernels'
+cross-iteration extraction cache skip their dominant dot almost every
+iteration — flattering vs real video. The varying field keeps patches
+crossing cells like real footage; `op3_nocache_pairs_per_sec` additionally
+records op-3 with the cache disabled to bound its remaining contribution.
+
 Timing notes:
   - On the axon-tunneled TPU platform `block_until_ready()` does not
     actually block, so every synchronization point here is a host fetch of
@@ -24,6 +33,42 @@ def _sync(out):
     return float(np.asarray(out[(0,) * out.ndim]))
 
 
+def _flow_field(h, w, scale=1.0):
+    """Spatially-varying subpixel motion (px): affine ramp + sinusoids.
+    Mean ~(2.5, 1.0), +-~1.5 px variation across the frame."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    u = (2.5 + 0.8 * np.sin(2 * np.pi * yy / 180.0)
+         + 0.5 * np.cos(2 * np.pi * xx / 260.0) + 0.4 * (xx / w - 0.5))
+    v = (1.0 + 0.7 * np.sin(2 * np.pi * xx / 210.0)
+         + 0.4 * (yy / h - 0.5))
+    return u * scale, v * scale
+
+
+def _warp_pairs(base, u, v):
+    """Backward-warp each (C,H,W) frame by (u, v): out(x) = in(x - f(x)),
+    so the estimated flow of (base, out) is ~(u, v)."""
+    import cv2
+    h, w = base.shape[2], base.shape[3]
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    mx, my = xx - u, yy - v
+    out = np.empty_like(base)
+    for i in range(base.shape[0]):
+        for c in range(base.shape[1]):
+            out[i, c] = cv2.remap(base[i, c], mx, my, cv2.INTER_LINEAR,
+                                  borderMode=cv2.BORDER_REFLECT)
+    return out
+
+
+def _make_pairs(rng, batch, h, w, noc=1, flow_scale=1.0):
+    import cv2
+    base = rng.random((batch, noc, h, w)).astype(np.float32) * 255.0
+    for i in range(batch):
+        for c in range(noc):
+            base[i, c] = cv2.GaussianBlur(base[i, c], (7, 7), 2.0)
+    u, v = _flow_field(h, w, flow_scale)
+    return base, _warp_pairs(base, u, v)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -41,16 +86,7 @@ def main():
 
     rng = np.random.default_rng(0)
     batch = int(os.environ.get("BENCH_BATCH", "384"))
-    base = rng.random((batch, 1, h_org, w_org)).astype(np.float32) * 255.0
-    # smooth the noise so patch optimization does realistic work
-    try:
-        import cv2
-        base = np.stack([[cv2.GaussianBlur(im[0], (7, 7), 2.0)] for im in base])
-    except ImportError:
-        k = np.ones(7, np.float32) / 7.0
-        base = np.apply_along_axis(
-            lambda r: np.convolve(r, k, mode="same"), 3, base)
-    shift = np.roll(base, shift=(2, 3), axis=(2, 3))
+    base, shift = _make_pairs(rng, batch, h_org, w_org)
 
     # pad_to_divisible expects (C,H,W); vmap it over the batch
     im_a = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))(
@@ -92,36 +128,68 @@ def main():
     dt = time.perf_counter() - t0
     pairs_per_sec = batch * iters / dt
 
-    # secondary metrics (same JSON line): op-3 throughput on a small batch,
-    # so regressions in the fine-level (tiled windowed GN) path are visible
-    # in the recorded bench, not just op-2. Disable with BENCH_SECONDARY=0.
+    # secondary metrics (same JSON line): small-batch loops over the other
+    # perf-relevant regimes so regressions there are visible in the recorded
+    # bench, not just op-2. Disable with BENCH_SECONDARY=0.
     secondary = {}
-    if os.environ.get("BENCH_SECONDARY", "1") != "0":
-        from of_dis_tpu.params import op_point_params as _opp
 
-        p3 = _opp(w_org, 3, nop=2, noc=1, verbosity=0)
-        b3 = min(batch, 8)
-        a3 = jax.vmap(lambda x: pyramid.pad_to_divisible(x, p3.sc_f))(
-            jnp.asarray(base[:b3]))
-        b3_im = jax.vmap(lambda x: pyramid.pad_to_divisible(x, p3.sc_f))(
-            jnp.asarray(shift[:b3]))
-        fh3, fw3 = int(a3.shape[2]), int(a3.shape[3])
+    def _measure(p, a_np, b_np, bsz, its):
+        a = jax.vmap(lambda x: pyramid.pad_to_divisible(x, p.sc_f))(
+            jnp.asarray(a_np[:bsz]))
+        b = jax.vmap(lambda x: pyramid.pad_to_divisible(x, p.sc_f))(
+            jnp.asarray(b_np[:bsz]))
+        fh, fw = int(a.shape[2]), int(a.shape[3])
 
         @jax.jit
-        def step3(a, b, chk):
-            out = dis.dis_flow_batched(a, b, p3, fw3, fh3,
-                                       channels_last=False)
+        def stepk(x, y, chk):
+            out = dis.dis_flow_batched(x, y, p, fw, fh, channels_last=False)
             return chk + jnp.sum(out[:, :, ::64, ::64])
 
-        _sync(step3(a3, b3_im, jnp.zeros((), jnp.float32)))
-        it3 = 4
+        _sync(stepk(a, b, jnp.zeros((), jnp.float32)))
         t0 = time.perf_counter()
         chk = jnp.zeros((), jnp.float32)
-        for _ in range(it3):
-            chk = step3(a3, b3_im, chk)
+        for _ in range(its):
+            chk = stepk(a, b, chk)
         _sync(chk)
-        secondary["op3_pairs_per_sec"] = round(b3 * it3 /
-                                               (time.perf_counter() - t0), 2)
+        return round(bsz * its / (time.perf_counter() - t0), 2)
+
+    if os.environ.get("BENCH_SECONDARY", "1") != "0":
+        p3 = op_point_params(w_org, 3, nop=2, noc=1, verbosity=0)
+        secondary["op3_pairs_per_sec"] = _measure(
+            p3, base, shift, min(batch, 8), 4)
+
+        # op-3 with the cross-iteration extraction cache disabled: bounds
+        # the cache's contribution to the op-3 number (the knob is read at
+        # trace time, so drop the trace caches to force a re-trace; the
+        # persistent .jax_cache still covers the recompile across rounds)
+        os.environ["OF_DIS_TPU_NO_EXTRACT_CACHE"] = "1"
+        jax.clear_caches()
+        try:
+            secondary["op3_nocache_pairs_per_sec"] = _measure(
+                p3, base, shift, min(batch, 8), 4)
+        finally:
+            del os.environ["OF_DIS_TPU_NO_EXTRACT_CACHE"]
+            jax.clear_caches()
+
+        # op-4 (128-iteration max-quality regime)
+        p4 = op_point_params(w_org, 4, nop=2, noc=1, verbosity=0)
+        secondary["op4_pairs_per_sec"] = _measure(
+            p4, base, shift, min(batch, 4), 2)
+
+        # RGB op-3 (the fine-level noc=3 path)
+        base3, shift3 = _make_pairs(rng, 4, h_org, w_org, noc=3)
+        p3c = op_point_params(w_org, 3, nop=2, noc=3, verbosity=0)
+        secondary["rgb_op3_pairs_per_sec"] = _measure(
+            p3c, base3, shift3, 4, 2)
+
+        # depth op-2 (1-D disparity; left camera clamps >=0 shifts to zero,
+        # so use a negative-x disparity field)
+        u, v = _flow_field(h_org, w_org)
+        based = base[:64]
+        shiftd = _warp_pairs(based, -np.abs(u), np.zeros_like(v))
+        pd = op_point_params(w_org, 2, nop=1, noc=1, verbosity=0)
+        secondary["de_op2_pairs_per_sec"] = _measure(
+            pd, based, shiftd, min(batch, 64), 4)
 
     print(json.dumps({
         "metric": "sintel_1024x436_op2_pairs_per_sec",

@@ -64,7 +64,7 @@ def set_spatial_tv_mesh(mesh, min_bytes: Optional[int] = None,
 def _spatial_tv_route(b: int, h: int, w: int, nop: int):
     """The registered mesh, if this level should be row-sharded over it."""
     mesh = _SPATIAL_TV["mesh"]
-    if mesh is None or nop != 2:
+    if mesh is None:
         return None
     if b * _TV_FIELDS * h * w * 4 < _SPATIAL_TV["min_bytes"]:
         return None
@@ -93,10 +93,16 @@ def _tv_refine(flow: jnp.ndarray, im_a, im_b, spec, params: DISParams,
     if mesh is not None:
         from of_dis_tpu.parallel import spatial
 
-        outs = [spatial.tv_refine_spatial(
-            mesh, flow[k], im1[k], im2[k],
-            axis_name=_SPATIAL_TV["axis_name"], **kw)
-            for k in range(flow.shape[0])]
+        if params.nop == 2:
+            outs = [spatial.tv_refine_spatial(
+                mesh, flow[k], im1[k], im2[k],
+                axis_name=_SPATIAL_TV["axis_name"], **kw)
+                for k in range(flow.shape[0])]
+        else:
+            outs = [spatial.tv_refine_spatial_de(
+                mesh, flow[k, :, :, 0], im1[k], im2[k], camlr=camlr,
+                axis_name=_SPATIAL_TV["axis_name"], **kw)[..., None]
+                for k in range(flow.shape[0])]
         return jnp.stack(outs, axis=0)
     if params.nop == 2:
         wx, wy = tv.ref_level_of_batched(flow[..., 0], flow[..., 1],

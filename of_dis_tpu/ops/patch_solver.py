@@ -174,13 +174,36 @@ def extract_templates(spec: LevelSpec, params: DISParams, im: jnp.ndarray,
     return PatchTemplates(tmpl, tdx, tdy, hes)
 
 
-def _shifted_planes(im: jnp.ndarray, psz: int):
-    """Precompute column-shifted bf16 hi/lo planes of the padded level image.
+def _extract_terms() -> int:
+    """bf16 term count of the plane split used by every MXU extraction
+    path: 2 (hi/lo, ~16-bit mantissa — comfortably inside the 1% EPE
+    budget) by default; OF_DIS_TPU_EXACT_EXTRACT=1 switches to 3 terms
+    (hi/mid/lo), whose reconstruction is f32-exact to ~1 ulp, for
+    accuracy-critical runs (reference exactness: patch.cpp:346-413).
+    Read at trace time."""
+    import os
+    return 3 if os.environ.get("OF_DIS_TPU_EXACT_EXTRACT") else 2
 
-    im: (C, Hp, Wp). Returns (lhs_hi, lhs_lo), each ((psz+1)*C*Hp, Wp) bf16:
-    row block s holds im[c, y, x+s] (zero beyond the right edge; those
-    columns are never selected because patch anchors are bounds-checked).
-    """
+
+def _split_bf16(cat: jnp.ndarray):
+    """Split an f32 array into _extract_terms() bf16 planes whose f32 sum
+    reconstructs it (residual cascade)."""
+    terms = []
+    resid = cat
+    for _ in range(_extract_terms()):
+        t = resid.astype(jnp.bfloat16)
+        terms.append(t)
+        resid = resid - t.astype(jnp.float32)
+    return terms
+
+
+def _shifted_planes(im: jnp.ndarray, psz: int):
+    """Precompute column-shifted bf16 term planes of the padded level image.
+
+    im: (C, Hp, Wp). Returns a tuple of ((psz+1)*C*Hp, Wp) bf16 planes
+    (hi/lo, or hi/mid/lo in exact mode): row block s holds im[c, y, x+s]
+    (zero beyond the right edge; those columns are never selected because
+    patch anchors are bounds-checked)."""
     c, hp, wp = im.shape
     w1 = psz + 1
     # concatenate flat (C*Hp, Wp) blocks instead of stack+reshape: the
@@ -188,9 +211,7 @@ def _shifted_planes(im: jnp.ndarray, psz: int):
     cat = jnp.concatenate(
         [jnp.pad(im[:, :, s:], ((0, 0), (0, 0), (0, s))).reshape(c * hp, wp)
          for s in range(w1)], axis=0)                  # (W1*C*Hp, Wp)
-    hi = cat.astype(jnp.bfloat16)
-    lo = (cat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return (hi, lo)
+    return tuple(_split_bf16(cat))
 
 
 # HBM budget for the XLA fallback's per-iteration extraction tensor;
@@ -292,14 +313,14 @@ def _bilerp_select_pallas(t, sy, ry, rx, psz, c, hp):
     )(t, sy[:, None, :], ry[:, None, :], rx[:, None, :])
 
 
-def extract_bilinear_mxu_batched(lhs_hi, lhs_lo, pts: jnp.ndarray, psz: int,
+def extract_bilinear_mxu_batched(lhs_planes, pts: jnp.ndarray, psz: int,
                                  pad: int, c: int, hp: int, wp: int,
                                  use_pallas: bool) -> jnp.ndarray:
     """Bilinear patch extraction at float positions via one-hot MXU matmuls.
 
-    lhs_hi/lhs_lo: batched _shifted_planes, ((B, (psz+1)*C*Hp, Wp)) bf16.
-    pts: (B, N, 2) float positions. Returns (B, D, N), D = psz*psz*c,
-    pixel order (j, i, c).
+    lhs_planes: tuple of batched _shifted_planes, each ((B, (psz+1)*C*Hp,
+    Wp)) bf16. pts: (B, N, 2) float positions. Returns (B, D, N),
+    D = psz*psz*c, pixel order (j, i, c).
 
     Implements getPatchStaticBil (patch.cpp:346-413): anchor = ceil(pt+1e-5),
     residual vs floor(pt); patch(j,i) = lerp_y(lerp_x of the (P+1)^2 window).
@@ -319,10 +340,9 @@ def extract_bilinear_mxu_batched(lhs_hi, lhs_lo, pts: jnp.ndarray, psz: int,
 
     # MXU: T[b, s, ch, y, n] = im[b, ch, y, x = sx_n + s]
     dn = (((2,), (1,)), ((0,), (0,)))
-    t = (jax.lax.dot_general(lhs_hi, onehot, dn,
-                             preferred_element_type=jnp.float32)
-         + jax.lax.dot_general(lhs_lo, onehot, dn,
-                               preferred_element_type=jnp.float32))
+    t = sum(jax.lax.dot_general(p, onehot, dn,
+                                preferred_element_type=jnp.float32)
+            for p in lhs_planes)
     t = t.reshape(b, w1, c, hp, n)
     if use_pallas and _bilerp_block(b, w1, c, hp, n) is not None:
         return _bilerp_select_pallas(t, sy, ry, rx, psz, c, hp)
@@ -390,12 +410,10 @@ def _shifted_planes_banded(im: jnp.ndarray, psz: int, hpb: int):
     cat = jnp.concatenate(
         [jnp.pad(imp[:, :, s:], ((0, 0), (0, 0), (0, s))).reshape(
             c * hpb, wp) for s in range(w1)], axis=0)  # (W1*C*Hpb, Wp)
-    hi = cat.astype(jnp.bfloat16)
-    lo = (cat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    # hi|lo stacked along the contraction axis: with the one-hot duplicated
-    # to (2*Wp, N), hi@oh + lo@oh becomes ONE MXU dot with K=2*Wp — 3
-    # 128-deep K-passes instead of 2 dots x 2 passes
-    return jnp.concatenate([hi, lo], axis=1)           # (W1*C*Hpb, 2*Wp)
+    # term planes stacked along the contraction axis: with the one-hot
+    # duplicated to (nterms*Wp, N), sum_t plane_t@oh becomes ONE MXU dot
+    # with K=nterms*Wp — fewer 128-deep K-passes than separate dots
+    return jnp.concatenate(_split_bf16(cat), axis=1)  # (W1*C*Hpb, nt*Wp)
 
 
 def _gn_windows(psz: int, hp: int):
@@ -414,7 +432,8 @@ def _pick_gn_bb(b: int, w1: int, c: int, hpb: int, wp: int, d: int, n: int,
     set already exceeds the VMEM budget. The extraction-cache carry rows
     only count when the kernel will actually carry them (long loops)."""
     wb = _round_up(w1 - 1 + 8, 8)
-    per = (2 * w1 * c * hpb * wp * 2      # lhs hi/lo blocks (bf16)
+    nt = _extract_terms()
+    per = (nt * w1 * c * hpb * wp * 2     # lhs term blocks (bf16)
            + 2 * w1 * c * hpb * n * 4    # t + shifted copies (transient)
            + (w1 * c * wb * n * 4 if use_cache else 0)  # cached rows (carry)
            + 7 * d * n * 4)              # tmpl/tdx/tdy + carry + outputs
@@ -435,7 +454,7 @@ def _pick_gn_nb(w1: int, c: int, hpb: int, wp: int, d: int, n: int,
     ignores the patch-block grid axis) so it is not double-buffered
     (op-3 L1, estimated 11.4MB at nb=128, compiles and runs)."""
     cap = _vmem_cap(12 * 1024 * 1024 + 512 * 1024)
-    planes = 2 * w1 * c * hpb * wp * 2
+    planes = _extract_terms() * w1 * c * hpb * wp * 2
     wb = _round_up(w1 - 1 + 8, 8)
     if planes >= cap:
         return None
@@ -481,7 +500,8 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
     w1 = psz + 1
     wb, _, nbands = _gn_windows(psz, spec.padded_height)
     b, m_rows, wp2 = lhs.shape
-    wp = wp2 // 2
+    nterms = wp2 // spec.padded_width      # 2, or 3 in exact-extract mode
+    wp = wp2 // nterms
     d = tpl.tmpl.shape[1]
     n_tot = tpl.tmpl.shape[2]
     n = nb or n_tot      # patch-block width (the whole grid when nb == 0)
@@ -520,11 +540,14 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
             once patches stop crossing pixel cells."""
             outs = []
             for k in range(bb):
-                # two-hot over the K-stacked hi|lo planes: one MXU dot
-                # computes hi@oh + lo@oh
+                # multi-hot over the K-stacked term planes: one MXU dot
+                # computes sum_t plane_t@oh
                 cols = jax.lax.broadcasted_iota(jnp.int32, (wp2, n), 0)
                 sxk = sx[k][None, :]
-                oh = ((cols == sxk) | (cols == sxk + wp)).astype(jnp.bfloat16)
+                ohm = cols == sxk
+                for term in range(1, nterms):
+                    ohm = ohm | (cols == sxk + term * wp)
+                oh = ohm.astype(jnp.bfloat16)
                 t = jnp.dot(lh_ref[k], oh,
                             preferred_element_type=jnp.float32)
                 t = t.reshape(w1 * c, hpb, n)
@@ -664,7 +687,10 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
         out = jax.lax.fori_loop(0, params.max_iter, body, carry0)
         po_ref[:] = out[0]
         pw_ref[:] = out[2]
-        it_ref[0, 0] = out[6].astype(jnp.int32)
+        # whole-array SMEM block shared across grid steps (a (1,1) block
+        # would violate the (8,128) block-divisibility rule): each program
+        # writes its own column
+        it_ref[0, pl.program_id(0)] = out[6].astype(jnp.int32)
 
     if nb:
         # N-blocked path (one pair per program, grid over patch blocks
@@ -684,7 +710,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
         blk_ptr = pl.BlockSpec((1, 2, n), lambda j: (0, 0, j),
                                memory_space=pltpu.VMEM)
 
-        blk_it = pl.BlockSpec((1, 1), lambda j: (j, 0),
+        blk_it = pl.BlockSpec((1, n_tot // n), lambda j: (0, 0),
                               memory_space=pltpu.SMEM)
 
         def one(xs):
@@ -695,7 +721,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                 out_shape=(
                     jax.ShapeDtypeStruct((1, nop, n_tot), jnp.float32),
                     jax.ShapeDtypeStruct((1, d, n_tot), jnp.float32),
-                    jax.ShapeDtypeStruct((n_tot // n, 1), jnp.int32)),
+                    jax.ShapeDtypeStruct((1, n_tot // n), jnp.int32)),
                 in_specs=[blk_lhs, blk_d, blk_d, blk_d, blk_h, blk_p,
                           blk_ptr],
                 out_specs=(blk_p, blk_d, blk_it),
@@ -717,14 +743,14 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                          memory_space=pltpu.VMEM)
     blk_ptr = pl.BlockSpec((1, 2, n), lambda i: (0, 0, 0),
                            memory_space=pltpu.VMEM)
-    blk_it = pl.BlockSpec((1, 1), lambda i: (i, 0),
+    blk_it = pl.BlockSpec((1, b // bb), lambda i: (0, 0),
                           memory_space=pltpu.SMEM)
     p_out, pw_out, it_out = pl.pallas_call(
         kernel,
         grid=(b // bb,),
         out_shape=(jax.ShapeDtypeStruct((b, nop, n_tot), jnp.float32),
                    jax.ShapeDtypeStruct((b, d, n_tot), jnp.float32),
-                   jax.ShapeDtypeStruct((b // bb, 1), jnp.int32)),
+                   jax.ShapeDtypeStruct((1, b // bb), jnp.int32)),
         in_specs=[blk_lhs, blk_d, blk_d, blk_d, blk_h, blk_p,
                   blk_ptr],
         out_specs=(blk_p, blk_d, blk_it),
@@ -746,6 +772,17 @@ class _TileGeom(NamedTuple):
     margin: int    # dynamic drift margin (ceil(outlierthresh)+2)
     hppp: int      # padded plane rows in HBM (DMA bound)
     wppp: int      # padded plane cols in HBM
+    # extraction formulation: False = banded-lhs joint (band, hi/lo, x)
+    # one-hot dot (K = nbands*2*xb); True = x-only dot (K = xb per plane)
+    # followed by in-VMEM band masked-adds + 3-bit roll alignment. The
+    # two-stage form has no banded-lhs scratch, which is what lets noc=3
+    # (RGB) fit a window at all.
+    two_stage: bool = False
+
+
+_TILE_CANDIDATES = ((16, 8, 256, 72), (16, 8, 256, 80),
+                    (32, 4, 256, 56), (32, 4, 384, 56),
+                    (64, 2, 384, 48), (128, 1, 512, 40))
 
 
 def _pick_tile_geom(spec: LevelSpec, params: DISParams):
@@ -753,9 +790,17 @@ def _pick_tile_geom(spec: LevelSpec, params: DISParams):
     candidate fits the VMEM budget (then the caller falls back to the
     unwindowed nb-blocked kernel / XLA path).
 
-    Known limitation: no candidate fits for noc=3 — the banded lhs scratch
-    is w1*3*wbnd rows x nbands*2*xb columns (>4.8MB bf16 at any viable
-    window), so RGB fine levels keep the legacy paths."""
+    Two formulations are tried in order:
+    1. banded-lhs (single-stage): the in-VMEM lhs replicates the window
+       into nbands stride-8 row bands so one joint (band, hi/lo, x) one-hot
+       dot does extraction + band selection (K = nbands*2*xb). Fastest for
+       noc=1 (fewer per-iteration VPU selects), but its lhs scratch is
+       w1*noc*wbnd x K bf16 — impossible for noc=3 at any viable window.
+    2. two-stage: the dot contracts over x only (K = xb per hi/lo plane,
+       M = w1*noc*yb), then band selection runs as nbands masked adds and
+       the in-band alignment as a 3-bit roll. No banded lhs at all — this
+       is what admits RGB (noc=3) windows.
+    """
     psz, noc = params.p_samp_s, params.noc
     w1 = psz + 1
     w1c = w1 * noc
@@ -764,40 +809,47 @@ def _pick_tile_geom(spec: LevelSpec, params: DISParams):
     wbnd = _round_up(psz + 1 + 7, 8)
     margin = int(np.ceil(params.outlierthresh)) + 2
     nb = 128
-    cap = _vmem_cap(6 * 1024 * 1024)
     # ordered by K = nbands*2*xb (the extraction dot's contraction size):
     # yb=72 leaves 11px of within-tile flow-spread tolerance in y — enough
     # for coarse-to-fine flows — at one band less than yb=80
     # (32,4,256,56) measured only +1.7% (the kernel is VPU/skip-bound,
     # not dot-bound) at 8x tighter x-spread tolerance — robustness wins
-    for tx, ty, xb, yb in ((16, 8, 256, 72), (16, 8, 256, 80),
-                           (32, 4, 256, 56), (32, 4, 384, 56),
-                           (64, 2, 384, 48), (128, 1, 512, 40)):
-        if tx * ty != nb:
-            continue
-        # static coverage: tile spread + drift margin + alignment waste
-        if (tx - 1) * steps + 2 * margin + 127 > xb - w1:
-            continue
-        if (ty - 1) * steps + 2 * margin + 7 > yb - wbnd + 7:
-            continue
-        nbands = (yb - wbnd) // 8 + 1
-        k = nbands * 2 * xb
-        est = (2 * w1c * yb * xb * 2          # win scratch (bf16)
-               + w1c * wbnd * k * 2           # banded lhs scratch
-               + k * nb * 2                   # one-hot (bf16)
-               + w1c * wbnd * nb * 4          # t2
-               + 2 * 3 * d * nb * 4           # blocked tmpl/tdx/tdy (x2 buf)
-               + 10 * d * nb * 4)             # carry + outputs + temps
-        if est > cap:
-            continue
-        # over-pad by one full window so the clip of xs/ys to
-        # [0, wppp-xb]/[0, hppp-yb] never forces a window that starts
-        # before the desired origin (small levels: plane barely taller
-        # than the window -> ys pinned at 0 -> band coverage short)
-        hppp = _round_up(spec.padded_height, 8) + yb
-        wppp = _round_up(spec.padded_width, 128) + xb
-        return _TileGeom(tx, ty, nb, xb, yb, wbnd, nbands, margin, hppp,
-                         wppp)
+    for two_stage in (False, True):
+        cap = _vmem_cap((6 if not two_stage else 8) * 1024 * 1024)
+        for tx, ty, xb, yb in _TILE_CANDIDATES:
+            if tx * ty != nb:
+                continue
+            # static coverage: tile spread + drift margin + alignment waste
+            if (tx - 1) * steps + 2 * margin + 127 > xb - w1:
+                continue
+            if (ty - 1) * steps + 2 * margin + 7 > yb - wbnd + 7:
+                continue
+            nbands = (yb - wbnd) // 8 + 1
+            nt = _extract_terms()
+            common = (nt * w1c * yb * xb * 2     # win scratch (bf16)
+                      + 2 * 3 * d * nb * 4      # blocked tmpl/tdx/tdy (x2)
+                      + 10 * d * nb * 4)        # carry + outputs + temps
+            if not two_stage:
+                k = nbands * nt * xb
+                est = (common
+                       + w1c * wbnd * k * 2     # banded lhs scratch
+                       + k * nb * 2             # one-hot (bf16)
+                       + w1c * wbnd * nb * 4)   # t2
+            else:
+                est = (common
+                       + xb * nb * 2            # x one-hot (bf16)
+                       + w1c * yb * nb * 4      # t (x-dot result)
+                       + 2 * w1c * wbnd * nb * 4)  # band-selected + aligned
+            if est > cap:
+                continue
+            # over-pad by one full window so the clip of xs/ys to
+            # [0, wppp-xb]/[0, hppp-yb] never forces a window that starts
+            # before the desired origin (small levels: plane barely taller
+            # than the window -> ys pinned at 0 -> band coverage short)
+            hppp = _round_up(spec.padded_height, 8) + yb
+            wppp = _round_up(spec.padded_width, 128) + xb
+            return _TileGeom(tx, ty, nb, xb, yb, wbnd, nbands, margin,
+                             hppp, wppp, two_stage)
     return None
 
 
@@ -856,18 +908,21 @@ def _tile_inv(x: jnp.ndarray, spec: LevelSpec, geom: _TileGeom):
 
 def _build_planes5(im_b: jnp.ndarray, psz: int, noc: int, hppp: int,
                    wppp: int) -> jnp.ndarray:
-    """(B, C, Hp, Wp) padded level images -> (B, 2, w1*C, hppp, wppp) bf16
-    hi/lo column-shifted planes, zero-padded to the DMA window bounds."""
+    """(B, C, Hp, Wp) padded level images -> (B, nterms, w1*C, hppp, wppp)
+    bf16 term-split column-shifted planes, zero-padded to the DMA window
+    bounds (nterms = 2, or 3 in exact-extract mode)."""
     b, c, hp, wp = im_b.shape
     w1 = psz + 1
-    sh = jnp.stack([
-        jnp.pad(im_b[:, :, :, s:], ((0, 0), (0, 0), (0, 0), (0, s)))
-        for s in range(w1)], axis=1)                   # (B, w1, C, hp, wp)
-    sh = sh.reshape(b, w1 * c, hp, wp)
+    # concatenate flat (C*hp, wp) blocks instead of a 5-D stack+reshape:
+    # the stacked form makes XLA pick T(1,128) layouts and relayout-copy
+    # (~4 ms/field at op-3 L1 on the profile)
+    cat = jnp.concatenate([
+        jnp.pad(im_b[:, :, :, s:],
+                ((0, 0), (0, 0), (0, 0), (0, s))).reshape(b, c * hp, wp)
+        for s in range(w1)], axis=1)                   # (B, w1*C*hp, wp)
+    sh = cat.reshape(b, w1 * c, hp, wp)
     sh = jnp.pad(sh, ((0, 0), (0, 0), (0, hppp - hp), (0, wppp - wp)))
-    hi = sh.astype(jnp.bfloat16)
-    lo = (sh - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.stack([hi, lo], axis=1)                 # (B, 2, w1c, hppp, wppp)
+    return jnp.stack(_split_bf16(sh), axis=1)       # (B, nt, w1c, hppp, wppp)
 
 
 def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
@@ -897,7 +952,8 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
     w1c = w1 * noc
     nb, xb, yb = geom.nb, geom.xb, geom.yb
     wbnd, nbands = geom.wbnd, geom.nbands
-    kdim = nbands * 2 * xb
+    nterms = planes5.shape[1]              # 2, or 3 in exact-extract mode
+    kdim = nbands * nterms * xb
     b = planes5.shape[0]
     d = tpl_p.tmpl.shape[1]
     n_pad = tpl_p.tmpl.shape[2]
@@ -906,7 +962,12 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
     novals = float(params.novals)
 
     def kernel(xs_ref, ys_ref, planes_ref, tm_ref, tx_ref, ty_ref, he_ref,
-               p0_ref, pr_ref, po_ref, pw_ref, it_ref, win, lhs, sem):
+               p0_ref, pr_ref, po_ref, pw_ref, it_ref, *scratch):
+        if geom.two_stage:
+            win, sem = scratch
+            lhs = None
+        else:
+            win, lhs, sem = scratch
         bi_ = pl.program_id(0)
         ti_ = pl.program_id(1)
         # alignment hints: Mosaic must prove the DMA offsets divide the
@@ -918,11 +979,12 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             win, sem)
         dma.start()
         dma.wait()
-        for band in range(nbands):
-            for h in range(2):
-                blk = win[h, :, 8 * band:8 * band + wbnd, :]
-                lhs[:, (band * 2 + h) * xb:(band * 2 + h + 1) * xb] = (
-                    blk.reshape(w1c * wbnd, xb))
+        if not geom.two_stage:
+            for band in range(nbands):
+                for h in range(nterms):
+                    blk = win[h, :, 8 * band:8 * band + wbnd, :]
+                    col = (band * nterms + h) * xb
+                    lhs[:, col:col + xb] = blk.reshape(w1c * wbnd, xb)
 
         tmpl = tm_ref[0]                    # (D, nb)
         tdx = tx_ref[0]
@@ -951,17 +1013,45 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             iterations once patches stop crossing pixel cells."""
             band_i = jax.lax.shift_right_logical(sy, 3)
             s3 = jnp.bitwise_and(sy, 7)
-            # joint (band, hi/lo, x) one-hot as a product of two small
-            # one-hots (both hi and lo planes carry the same x one-hot)
             xh = (colsx == sx[None, :]).astype(jnp.bfloat16)
+            if geom.two_stage:
+                # stage 1: x-only extraction dot over the whole window
+                # (M = w1c*yb, K = xb per term plane) — no banded lhs
+                t = sum(jnp.dot(win[h].reshape(w1c * yb, xb), xh,
+                                preferred_element_type=jnp.float32)
+                        for h in range(nterms))
+                t3b = t.reshape(w1c, yb, nb)
+                # stage 2a: 8-aligned band selection as masked adds
+                tb = jnp.zeros((w1c, wbnd, nb), jnp.float32)
+                for band in range(nbands):
+                    m = (band_i == band)[None, None, :]
+                    tb = tb + jnp.where(
+                        m, t3b[:, 8 * band:8 * band + wbnd, :], 0.0)
+                # stage 2b: in-band alignment a[:, j, :] = tb[:, s3 + j, :]
+                # as a 3-bit conditional roll — measured faster than the
+                # 8-way masked adds HERE (w1c is 3x larger than the INT
+                # single-stage kernel's, so fewer bigger ops win; on the
+                # single-stage kernel the masked adds win by ~2%)
+                a = tb
+                for bit in range(3):
+                    amt = 1 << bit
+                    rolled = pltpu.roll(a, (wbnd - amt) % wbnd, 1)
+                    m = (jnp.bitwise_and(jax.lax.shift_right_logical(
+                        s3, bit), 1) == 1)[None, None, :]
+                    a = jnp.where(m, rolled, a)
+                return a[:, :psz + 1, :]
+            # joint (band, term, x) one-hot as a product of two small
+            # one-hots (every term plane carries the same x one-hot)
             bh = (colsb == band_i[None, :]).astype(jnp.bfloat16)
             oh = (bh[:, None, None, :]
                   * xh[None, None, :, :])               # (nbands, 1, xb, nb)
-            oh = jnp.broadcast_to(oh, (nbands, 2, xb, nb))
+            oh = jnp.broadcast_to(oh, (nbands, nterms, xb, nb))
             t2 = jnp.dot(lhs[:], oh.reshape(kdim, nb),
                          preferred_element_type=jnp.float32)
             t3 = t2.reshape(w1c, wbnd, nb)
             # in-band row alignment: a[:, j, :] = t3[:, s3 + j, :]
+            # (8 masked adds; the 3-bit conditional-roll form measured 2%
+            # slower here — wbnd-row rolls cost more than the slices)
             a = jnp.zeros((w1c, psz + 1, nb), jnp.float32)
             for s in range(8):
                 m = (s3 == s)[None, None, :]
@@ -1074,7 +1164,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
         out = jax.lax.fori_loop(0, params.max_iter, body, carry0)
         po_ref[0] = out[0]
         pw_ref[0] = out[2]
-        it_ref[0, 0] = out[6].astype(jnp.int32)
+        it_ref[bi_, ti_] = out[6].astype(jnp.int32)
 
     blk_d = pl.BlockSpec((1, d, nb), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM)
@@ -1084,7 +1174,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                          memory_space=pltpu.VMEM)
     blk_ptr = pl.BlockSpec((1, 2, nb), lambda i, j: (0, 0, j),
                            memory_space=pltpu.VMEM)
-    blk_it = pl.BlockSpec((1, 1), lambda i, j: (i, j),
+    blk_it = pl.BlockSpec((b, t_tiles), lambda i, j: (0, 0),
                           memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
@@ -1099,11 +1189,11 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             blk_d, blk_d, blk_d, blk_h, blk_p, blk_ptr,
         ],
         out_specs=(blk_p, blk_d, blk_it),
-        scratch_shapes=[
-            pltpu.VMEM((2, w1c, yb, xb), jnp.bfloat16),
-            pltpu.VMEM((w1c * wbnd, kdim), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((nterms, w1c, yb, xb), jnp.bfloat16)]
+            + ([] if geom.two_stage else
+               [pltpu.VMEM((w1c * wbnd, kdim), jnp.bfloat16)])
+            + [pltpu.SemaphoreType.DMA(())]),
     )(xs, ys, planes5, tpl_p.tmpl, tpl_p.tdx, tpl_p.tdy, tpl_p.hes,
       p_init_p, ptr_p)
 
@@ -1307,7 +1397,7 @@ def _gn_xla_path(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
             return pt_ref_t + p
         return pt_ref_t + jnp.concatenate([p, jnp.zeros_like(p)], axis=1)
 
-    lhs_hi, lhs_lo = jax.vmap(lambda x: _shifted_planes(x, psz))(im_b)
+    lhs_planes = jax.vmap(lambda x: _shifted_planes(x, psz))(im_b)
 
     def oob(pt):
         return ((pt[:, 0] < spec.tmp_lb) | (pt[:, 1] < spec.tmp_lb)
@@ -1324,14 +1414,14 @@ def _gn_xla_path(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
     def _extract(pt_t):
         if not n_chunk:
             return extract_bilinear_mxu_batched(
-                lhs_hi, lhs_lo, pt_t, psz, pad, noc, hp, wp, use_pallas)
+                lhs_planes, pt_t, psz, pad, noc, hp, wp, use_pallas)
         n_pad = _round_up(n, n_chunk)
         ptp = jnp.pad(pt_t, ((0, 0), (0, n_pad - n), (0, 0)))
         chunks = jnp.moveaxis(
             ptp.reshape(b, n_pad // n_chunk, n_chunk, 2), 1, 0)
         out = jax.lax.map(
             lambda c: extract_bilinear_mxu_batched(
-                lhs_hi, lhs_lo, c, psz, pad, noc, hp, wp, use_pallas),
+                lhs_planes, c, psz, pad, noc, hp, wp, use_pallas),
             chunks)                                   # (K, B, D, nc)
         out = jnp.moveaxis(out, 0, 2)                 # (B, D, K, nc)
         return out.reshape(b, out.shape[1], n_pad)[:, :, :n]

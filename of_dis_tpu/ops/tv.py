@@ -791,9 +791,17 @@ def _on_tpu() -> bool:
         return False
 
 
+def _tv_nfields(noc: int) -> int:
+    """(H, W) f32 fields resident per pair in the fused TV kernel. The +12
+    RGB surcharge covers compute_data_rgb's per-channel temporaries —
+    without it Mosaic's stack peaks ~1.7x the naive estimate and a
+    (4, 112, 256) noc=3 block measured 17.78M against the 16M limit."""
+    return 14 + 8 * noc + 8 + (12 if noc == 3 else 0)
+
+
 def _use_pallas(h: int, w: int, noc: int) -> bool:
-    nfields = 14 + 8 * noc + 8
-    return _on_tpu() and h * w * 4 * nfields < _pallas_vmem_budget()
+    return (_on_tpu()
+            and h * w * 4 * _tv_nfields(noc) < _pallas_vmem_budget())
 
 
 def _of_inner_loop(wx, wy, mask, I, *, noc, quarter_alpha, hd3, hg3,
@@ -859,8 +867,7 @@ def _of_inner_pallas(wx, wy, mask, i_stack, *, noc, quarter_alpha, hd3, hg3,
 
 def _pick_bb(batch: int, h: int, w: int, noc: int) -> int:
     """Largest divisor of `batch` whose (bB,H,W) working set fits VMEM."""
-    nfields = 14 + 8 * noc + 8
-    cap = max(1, _pallas_vmem_budget() // (h * w * 4 * nfields))
+    cap = max(1, _pallas_vmem_budget() // (h * w * 4 * _tv_nfields(noc)))
     bb = min(batch, cap, 8)
     while batch % bb:
         bb -= 1

@@ -189,6 +189,97 @@ def _local_ref_level_of(wx, wy, im1, im2, *, axis_name, n_shards, gh,
     return uu[d:d + hl], vv[d:d + hl]
 
 
+def _local_ref_level_de(wx, im1, im2, *, axis_name, n_shards, gh, noc,
+                        camlr, quarter_alpha, hd3, hg3, n_inner, n_solver,
+                        omega):
+    """Shard-local depth body (RefLevelDE, refine_variational.cpp:251-342):
+    1-D disparity, wy = 0 (the warp has no vertical displacement, but the
+    derivative stencils, smoothness coupling and red-black solver still
+    reach across rows — the halo machinery is identical to the flow body)."""
+    hl, w = wx.shape
+    d = halo_depth(n_inner, n_solver)
+    if n_shards > 1:
+        assert d <= hl, (
+            f"halo depth {d} exceeds shard height {hl}; use fewer shards")
+        assert hl % 2 == 0, "shard height must be even for red-black parity"
+    wxp, _ = _exchange_flow_halo(wx, wx, d, axis_name, n_shards)
+    gy0 = jax.lax.axis_index(axis_name) * hl - d
+
+    rows = jnp.clip(gy0 + jnp.arange(hl + 2 * d), 0, gh - 1)
+    im1_loc = jnp.take(im1, rows, axis=1)
+    zeros = jnp.zeros_like(wxp)
+    w_im2, mask = _warp_global(im2, wxp, zeros, gy0, gh)
+
+    grow_v = gy0 + jnp.arange(hl + 2 * d)
+    oob_map = jnp.clip(grow_v, 0, gh - 1) - gy0
+
+    def _rep(x):
+        return jnp.take(x, oob_map, axis=-2)
+
+    tmp = 0.5 * (im1_loc + w_im2)
+    iz = w_im2 - im1_loc
+    ix = tv._d5(tmp, -1)
+    iy = _rep(tv._d5(tmp, -2))
+    i_fields = (ix, iy, iz, tv._d5(ix, -1), tv._d5(ix, -2),
+                tv._d5(iy, -2), tv._d5(iz, -1), tv._d5(iz, -2))
+
+    grow = grow_v[:, None]
+    not_last = ((grow >= 0) & (grow < gh - 1)).astype(jnp.float32)
+
+    def inner(_, carry):
+        du, uu = carry
+        uu = _rep(uu)
+        wh, wv = tv.compute_smoothness(uu, zeros, quarter_alpha)
+        wv = wv * not_last
+        if noc == 1:
+            a11, b1 = tv.compute_data_de_gray(mask, du, i_fields, hd3, hg3)
+        else:
+            a11, b1 = tv.compute_data_de_rgb(mask, du, i_fields, hd3, hg3)
+        b1 = tv.sub_laplacian(b1, wxp, wh, wv)
+        du = tv.sor_de_rb(du, a11, b1, wh, wv, n_solver, omega)
+        uu = wxp + du
+        if camlr == 0:
+            uu = jnp.minimum(uu, 0.0)
+        else:
+            uu = jnp.maximum(uu, 0.0)
+        return du, uu
+
+    _, uu = jax.lax.fori_loop(0, n_inner, inner, (jnp.zeros_like(wxp), wxp))
+    return uu[d:d + hl]
+
+
+def tv_refine_spatial_de(mesh: Mesh, wx: jnp.ndarray, im1: jnp.ndarray,
+                         im2: jnp.ndarray, *, alpha, gamma, delta, n_inner,
+                         n_solver, omega, camlr: int,
+                         axis_name: str = "rows"):
+    """Row-sharded depth TV refinement over `mesh` (1-D, axis `axis_name`).
+
+    wx (H, W) disparity; im1/im2 (C, H, W) replicated. H must divide by the
+    mesh size. Returns the refined (H, W) disparity, matching the unsharded
+    ops.tv.ref_level_de to float noise."""
+    n_shards = mesh.shape[axis_name]
+    noc = im1.shape[0]
+    gh = im1.shape[1]
+    kw = dict(axis_name=axis_name, n_shards=n_shards, gh=gh, noc=noc,
+              camlr=camlr, quarter_alpha=0.25 * alpha,
+              hd3=delta * 0.5 / 3.0, hg3=gamma * 0.5 / 3.0,
+              n_inner=n_inner, n_solver=n_solver, omega=omega)
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        partial(_local_ref_level_de, **kw),
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(None, None, None),
+                  P(None, None, None)),
+        out_specs=P(axis_name, None),
+    )
+    return fn(wx, im1, im2)
+
+
 def tv_refine_spatial(mesh: Mesh, flow: jnp.ndarray, im1: jnp.ndarray,
                       im2: jnp.ndarray, *, alpha, gamma, delta, n_inner,
                       n_solver, omega, axis_name: str = "rows"):

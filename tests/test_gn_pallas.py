@@ -171,3 +171,31 @@ def test_gn_fused_iters_matches_xla(monkeypatch):
     got = _run(prm, spec, img_a, img_b, p_init, True, monkeypatch)
     assert 0 < int(want.iters) < prm.max_iter   # early stop must fire
     assert int(got.iters) == int(want.iters)
+
+
+def test_exact_extract_mode(monkeypatch):
+    """OF_DIS_TPU_EXACT_EXTRACT=1: the 3-term bf16 plane split must
+    reconstruct f32 exactly, and the fused kernel must agree with the XLA
+    path at a much tighter tolerance than the default hi/lo mode."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((64, 96)) * 255.0, jnp.float32)
+    with monkeypatch.context() as m:
+        m.setenv("OF_DIS_TPU_EXACT_EXTRACT", "1")
+        terms = patch_solver._split_bf16(x)
+        assert len(terms) == 3
+        rec = sum(t.astype(jnp.float32) for t in terms)
+        np.testing.assert_array_equal(np.asarray(rec), np.asarray(x))
+
+        h, w, psz = 40, 48, 8
+        prm = DISParams(sc_f=0, sc_l=0, max_iter=12, min_iter=12,
+                        p_samp_s=psz, patove=0.4, costfct=0, patnorm=1,
+                        noc=1, nop=2, usetvref=False)
+        spec = make_level_spec(0, w, h, prm)
+        img_a, img_b = _make_pair(h, w, c=1)
+        rng = np.random.default_rng(3)
+        p_init = jnp.asarray(rng.standard_normal((spec.nopatches, 2)) * 1.5,
+                             jnp.float32)
+        ref = _run(prm, spec, img_a, img_b, p_init, False, monkeypatch)
+        got = _run(prm, spec, img_a, img_b, p_init, True, monkeypatch)
+        np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
+                                   rtol=0, atol=2e-5)

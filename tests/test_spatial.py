@@ -108,3 +108,51 @@ def test_spatial_mesh_registration_drops_jit_caches():
     assert dis.dis_flow_batched._cache_size() >= 1
     dis.set_spatial_tv_mesh(None)
     assert dis.dis_flow_batched._cache_size() == 0
+
+
+def test_spatial_tv_depth_matches_unsharded():
+    """The depth (1-D disparity) row-sharded body vs ops.tv.ref_level_de,
+    both cameras."""
+    n_dev = 8
+    devices = jax.devices()[:n_dev]
+    mesh = Mesh(np.asarray(devices), ("rows",))
+    h, w = 160, 96
+    rng = np.random.default_rng(2)
+    im1 = jnp.asarray(rng.random((1, h, w)), jnp.float32) * 255
+    im2 = jnp.asarray(rng.random((1, h, w)), jnp.float32) * 255
+    kw = dict(alpha=10.0, gamma=10.0, delta=5.0, n_inner=1, n_solver=3,
+              omega=1.6)
+    for camlr, sgn in ((0, -1.0), (1, 1.0)):
+        wx = jnp.asarray(sgn * np.abs(rng.standard_normal((h, w))) * 1.5,
+                         jnp.float32)
+        ref = tv.ref_level_de(wx, im1, im2, camlr=camlr, **kw)
+        got = spatial.tv_refine_spatial_de(mesh, wx, im1, im2,
+                                           camlr=camlr, **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
+
+def test_model_level_spatial_tv_depth_dispatch():
+    """Depth e2e through the model with a registered mesh must match the
+    unsharded run (round-2 verdict: nop=1 previously bailed at the route)."""
+    import jax
+    from of_dis_tpu.models import dis
+    from of_dis_tpu.params import DISParams
+
+    h, w = 128, 256
+    params = DISParams(sc_f=1, sc_l=0, max_iter=4, min_iter=4, p_samp_s=8,
+                       patove=0.4, noc=1, nop=1, usetvref=True)
+    rng = np.random.default_rng(3)
+    im_a = jnp.asarray(rng.random((1, 1, h, w)), jnp.float32) * 255
+    im_b = jnp.asarray(rng.random((1, 1, h, w)), jnp.float32) * 255
+
+    want = dis._dis_flow_core(im_a, im_b, params, w, h)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    dis.set_spatial_tv_mesh(mesh, min_bytes=2 << 20)
+    try:
+        assert dis._spatial_tv_route(1, h, w, 1) is mesh
+        got = dis._dis_flow_core(im_a, im_b, params, w, h)
+    finally:
+        dis.set_spatial_tv_mesh(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

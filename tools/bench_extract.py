@@ -49,17 +49,17 @@ def main():
 
     @jax.jit
     def full(im, pts):
-        hi, lo = jax.vmap(lambda x: ps._shifted_planes(x, psz))(im)
+        planes = jax.vmap(lambda x: ps._shifted_planes(x, psz))(im)
 
         def one(i, p):
             out = ps.extract_bilinear_mxu_batched(
-                hi, lo, p, psz, pad, 1, hp, wp, True)
+                planes, p, psz, pad, 1, hp, wp, True)
             return p * (1.0 - 1e-12) + out[:, 0, :, None] * 1e-12
         return jax.lax.fori_loop(0, K, one, pts)
 
     @jax.jit
     def matmul_only(im, pts):
-        hi, lo = jax.vmap(lambda x: ps._shifted_planes(x, psz))(im)
+        hi, lo = jax.vmap(lambda x: ps._shifted_planes(x, psz))(im)[:2]
         dn = (((2,), (1,)), ((0,), (0,)))
 
         def one(i, p):
@@ -76,7 +76,7 @@ def main():
 
     @jax.jit
     def bilerp_only(im, pts):
-        hi, lo = jax.vmap(lambda x: ps._shifted_planes(x, psz))(im)
+        hi, lo = jax.vmap(lambda x: ps._shifted_planes(x, psz))(im)[:2]
         dn = (((2,), (1,)), ((0,), (0,)))
         pos_c = jnp.ceil(pts + 1e-5).astype(jnp.int32)
         resid = pts - jnp.floor(pts)

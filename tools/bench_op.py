@@ -1,7 +1,8 @@
 """Quick throughput check for any op-point on the real TPU.
 
-Usage: python tools/bench_op.py [op_point] [batch] [iters]
+Usage: python tools/bench_op.py [op_point] [batch] [iters] [noc] [nop]
 Prints pairs/s (checksum-synchronized, one host fetch at the end).
+Motion field: bench.py's spatially-varying subpixel flow.
 """
 
 import os
@@ -29,17 +30,18 @@ def main():
     op = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    noc = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    nop = int(sys.argv[5]) if len(sys.argv) > 5 else 2
     h_org, w_org = 436, 1024
-    params = op_point_params(w_org, op, nop=2, noc=1, verbosity=0)
+    params = op_point_params(w_org, op, nop=nop, noc=noc, verbosity=0)
     rng = np.random.default_rng(0)
-    base = rng.random((b, 1, h_org, w_org)).astype(np.float32) * 255.0
-    try:
-        import cv2
-        base = np.stack([[cv2.GaussianBlur(im[0], (7, 7), 2.0)]
-                         for im in base])
-    except ImportError:
-        pass
-    shift = np.roll(base, shift=(2, 3), axis=(2, 3))
+    import bench as _bench
+    if nop == 2:
+        base, shift = _bench._make_pairs(rng, b, h_org, w_org, noc=noc)
+    else:
+        base, _ = _bench._make_pairs(rng, b, h_org, w_org, noc=noc)
+        u, v = _bench._flow_field(h_org, w_org)
+        shift = _bench._warp_pairs(base, -np.abs(u), np.zeros_like(v))
     pad = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))
     im_a = pad(jnp.asarray(base))
     im_b = pad(jnp.asarray(shift))
@@ -63,7 +65,7 @@ def main():
     float(np.asarray(acc))
     dt = time.perf_counter() - t0
     pairs = b * iters / dt
-    print(f"op{op} b={b} iters={iters}: {pairs:.1f} pairs/s "
+    print(f"op{op} noc={noc} nop={nop} b={b} iters={iters}: {pairs:.1f} pairs/s "
           f"({dt / iters * 1e3:.1f} ms/batch, compile+warm {t_compile:.1f}s)")
 
 
