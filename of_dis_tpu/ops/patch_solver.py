@@ -780,7 +780,16 @@ class _TileGeom(NamedTuple):
     two_stage: bool = False
 
 
-_TILE_CANDIDATES = ((16, 8, 256, 72), (16, 8, 256, 80),
+# (tx, ty, xb, yb) tile/window candidates, tried per lane width nb=tx*ty.
+# nb=256 first: half the programs and DMA traffic of nb=128 and double-width
+# VPU ops per instruction (only the two-stage formulation fits the wide
+# windows in VMEM); the nb=128 shapes remain as fallbacks for levels whose
+# geometry or VMEM budget rejects the wide tiles. NOTE: every per-patch
+# vector inside the kernel must stay rank-2 (1, nb) — Mosaic's layout
+# inference crashes joining rank-1 layouts once nb spans two vregs.
+_TILE_CANDIDATES = ((32, 8, 256, 72), (32, 8, 256, 80),
+                    (64, 4, 384, 56), (16, 16, 256, 96),
+                    (16, 8, 256, 72), (16, 8, 256, 80),
                     (32, 4, 256, 56), (32, 4, 384, 56),
                     (64, 2, 384, 48), (128, 1, 512, 40))
 
@@ -791,15 +800,17 @@ def _pick_tile_geom(spec: LevelSpec, params: DISParams):
     unwindowed nb-blocked kernel / XLA path).
 
     Two formulations are tried in order:
-    1. banded-lhs (single-stage): the in-VMEM lhs replicates the window
-       into nbands stride-8 row bands so one joint (band, hi/lo, x) one-hot
-       dot does extraction + band selection (K = nbands*2*xb). Fastest for
-       noc=1 (fewer per-iteration VPU selects), but its lhs scratch is
-       w1*noc*wbnd x K bf16 — impossible for noc=3 at any viable window.
-    2. two-stage: the dot contracts over x only (K = xb per hi/lo plane,
+    1. two-stage: the dot contracts over x only (K = xb per hi/lo plane,
        M = w1*noc*yb), then band selection runs as nbands masked adds and
-       the in-band alignment as a 3-bit roll. No banded lhs at all — this
-       is what admits RGB (noc=3) windows.
+       the in-band alignment as a 3-bit roll. No banded-lhs scratch — this
+       is what admits RGB (noc=3) windows AND the wide nb=256 tiles
+       (measured ~5% faster end-to-end at op-3 than the banded-lhs form,
+       which only fits nb=128).
+    2. banded-lhs (single-stage): the in-VMEM lhs replicates the window
+       into nbands stride-8 row bands so one joint (band, hi/lo, x) one-hot
+       dot does extraction + band selection (K = nbands*2*xb). Kept as a
+       fallback for tight-VMEM configurations and for A/B measurement
+       (OF_DIS_TPU_TILE_SINGLE_STAGE=1 forces it).
     """
     psz, noc = params.p_samp_s, params.noc
     w1 = psz + 1
@@ -808,17 +819,18 @@ def _pick_tile_geom(spec: LevelSpec, params: DISParams):
     steps = spec.steps
     wbnd = _round_up(psz + 1 + 7, 8)
     margin = int(np.ceil(params.outlierthresh)) + 2
-    nb = 128
     # ordered by K = nbands*2*xb (the extraction dot's contraction size):
     # yb=72 leaves 11px of within-tile flow-spread tolerance in y — enough
     # for coarse-to-fine flows — at one band less than yb=80
     # (32,4,256,56) measured only +1.7% (the kernel is VPU/skip-bound,
     # not dot-bound) at 8x tighter x-spread tolerance — robustness wins
-    for two_stage in (False, True):
+    import os
+    forms = ((False, True) if os.environ.get("OF_DIS_TPU_TILE_SINGLE_STAGE")
+             else (True, False))
+    for two_stage in forms:
         cap = _vmem_cap((6 if not two_stage else 8) * 1024 * 1024)
         for tx, ty, xb, yb in _TILE_CANDIDATES:
-            if tx * ty != nb:
-                continue
+            nb = tx * ty           # lane width == patches per program
             # static coverage: tile spread + drift margin + alignment waste
             if (tx - 1) * steps + 2 * margin + 127 > xb - w1:
                 continue
@@ -1000,20 +1012,25 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 [ptr[0:1] + p, jnp.broadcast_to(ptr[1:2], p.shape)], axis=0)
 
         def oob(pt):
-            return ((pt[0] < spec.tmp_lb) | (pt[1] < spec.tmp_lb)
-                    | (pt[0] > spec.tmp_ubw) | (pt[1] > spec.tmp_ubh))
+            # (1, nb) — every per-patch vector in this kernel is kept
+            # rank-2: Mosaic's layout inference cannot join rank-1 vector
+            # layouts once nb spans >1 vreg (crash in VectorLayout::join
+            # at nb=256), and (1, nb) rows broadcast against (k, nb)
+            # operands for free
+            return ((pt[0:1] < spec.tmp_lb) | (pt[1:2] < spec.tmp_lb)
+                    | (pt[0:1] > spec.tmp_ubw) | (pt[1:2] > spec.tmp_ubh))
 
         colsx = jax.lax.broadcasted_iota(jnp.int32, (xb, nb), 0)
         colsb = jax.lax.broadcasted_iota(jnp.int32, (nbands, nb), 0)
 
         def select_rows(sx, sy):
             """(w1c, psz+1, nb) aligned window rows for integer anchors
-            (sx, sy): the extraction dot + band/sub-band selection. Pure
-            function of the integer positions — cached across GN
-            iterations once patches stop crossing pixel cells."""
-            band_i = jax.lax.shift_right_logical(sy, 3)
-            s3 = jnp.bitwise_and(sy, 7)
-            xh = (colsx == sx[None, :]).astype(jnp.bfloat16)
+            (sx, sy), both (1, nb): the extraction dot + band/sub-band
+            selection. Pure function of the integer positions — cached
+            across GN iterations once patches stop crossing pixel cells."""
+            band_i = jax.lax.shift_right_logical(sy, 3)     # (1, nb)
+            s3 = jnp.bitwise_and(sy, 7)                     # (1, nb)
+            xh = (colsx == sx).astype(jnp.bfloat16)
             if geom.two_stage:
                 # stage 1: x-only extraction dot over the whole window
                 # (M = w1c*yb, K = xb per term plane) — no banded lhs
@@ -1024,7 +1041,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 # stage 2a: 8-aligned band selection as masked adds
                 tb = jnp.zeros((w1c, wbnd, nb), jnp.float32)
                 for band in range(nbands):
-                    m = (band_i == band)[None, None, :]
+                    m = (band_i == band)[None]
                     tb = tb + jnp.where(
                         m, t3b[:, 8 * band:8 * band + wbnd, :], 0.0)
                 # stage 2b: in-band alignment a[:, j, :] = tb[:, s3 + j, :]
@@ -1037,12 +1054,12 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                     amt = 1 << bit
                     rolled = pltpu.roll(a, (wbnd - amt) % wbnd, 1)
                     m = (jnp.bitwise_and(jax.lax.shift_right_logical(
-                        s3, bit), 1) == 1)[None, None, :]
+                        s3, bit), 1) == 1)[None]
                     a = jnp.where(m, rolled, a)
                 return a[:, :psz + 1, :]
             # joint (band, term, x) one-hot as a product of two small
             # one-hots (every term plane carries the same x one-hot)
-            bh = (colsb == band_i[None, :]).astype(jnp.bfloat16)
+            bh = (colsb == band_i).astype(jnp.bfloat16)
             oh = (bh[:, None, None, :]
                   * xh[None, None, :, :])               # (nbands, 1, xb, nb)
             oh = jnp.broadcast_to(oh, (nbands, nterms, xb, nb))
@@ -1054,7 +1071,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             # slower here — wbnd-row rolls cost more than the slices)
             a = jnp.zeros((w1c, psz + 1, nb), jnp.float32)
             for s in range(8):
-                m = (s3 == s)[None, None, :]
+                m = (s3 == s)[None]
                 a = a + jnp.where(m, t3[:, s:s + psz + 1, :], 0.0)
             return a
 
@@ -1067,23 +1084,23 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             their outputs are masked by the active-gated carry update)."""
             pos_c = jnp.ceil(pt + 1e-5).astype(jnp.int32)
             resid = pt - jnp.floor(pt)
-            sx = pos_c[0] - psz // 2 - 1 + spec.pad - xs0   # (nb,)
-            sy = pos_c[1] - psz // 2 - 1 + spec.pad - ys0
-            rx = resid[0]
-            ry = resid[1]
+            sx = pos_c[0:1] - psz // 2 - 1 + spec.pad - xs0  # (1, nb)
+            sy = pos_c[1:2] - psz // 2 - 1 + spec.pad - ys0
+            rx = resid[0:1]                                  # (1, nb)
+            ry = resid[1:2]
             # cache coordinates as (2, nb): rank-1 vectors through the
             # scf carry/cond crash Mosaic's layout inference
-            sxy = jnp.stack([sx, sy], axis=0)
+            sxy = jnp.concatenate([sx, sy], axis=0)
             if prev is None or not _use_extract_cache():
                 a = select_rows(sx, sy)
             else:
                 a_prev, sxyp = prev
-                same = jnp.all((~active[None, :]) | (sxy == sxyp))
+                same = jnp.all((~active) | (sxy == sxyp))
                 a = jax.lax.cond(same, lambda _: a_prev,
                                  lambda _: select_rows(sx, sy), None)
             rows = [a[:, j, :] for j in range(psz + 1)]
-            ryk = ry[None, :]
-            rxk = rx[None, None, :]
+            ryk = ry
+            rxk = rx[None]
             parts = []
             for j in range(psz):
                 wyj = (1.0 - ryk) * rows[j] + ryk * rows[j + 1]
@@ -1094,35 +1111,34 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             if params.patnorm > 0:
                 patch = patch - patch.mean(axis=0, keepdims=True)
             pdiff, pweight = loss_error_image(patch - tmpl, params.costfct)
-            mares = jnp.sum(pweight, axis=0)            # (nb,)
+            mares = jnp.sum(pweight, axis=0, keepdims=True)  # (1, nb)
             return pdiff, pweight, mares / novals, (a, sxy)
 
         pt0 = to_pt(p_init)
-        init_oob = oob(pt0)
-        pt0_safe = jnp.where(init_oob[None, :],
+        init_oob = oob(pt0)                              # (1, nb)
+        pt0_safe = jnp.where(init_oob,
                              jnp.broadcast_to(ptr, pt0.shape), pt0)
-        all_on = jnp.ones((nb,), jnp.bool_)
+        all_on = jnp.ones((1, nb), jnp.bool_)
         pdiff0, pweight0, mares0, cache0 = compute_err(pt0_safe, all_on,
                                                        None)
         _, tmpl_pw = loss_error_image(tmpl, params.costfct)
-        m0 = init_oob[None, :]
-        pdiff0 = jnp.where(m0, tmpl, pdiff0)
-        pweight0 = jnp.where(m0, tmpl_pw, pweight0)
+        pdiff0 = jnp.where(init_oob, tmpl, pdiff0)
+        pweight0 = jnp.where(init_oob, tmpl_pw, pweight0)
         active0 = ((~init_oob) & (params.max_iter > 0)
                    & (mares0 > params.res_thresh))
 
         def body(i, carry):
             (p, pdiff, pweight, active_f, mares, dpn_init, itcnt,
              cache) = carry
-            active = active_f > 0.5
+            active = active_f > 0.5                      # (1, nb)
             itcnt = itcnt + jnp.max(active_f)
             it1 = i + 1
-            rhs0 = jnp.sum(tdx * pdiff, axis=0)
+            rhs0 = jnp.sum(tdx * pdiff, axis=0, keepdims=True)
             if nop == 2:
-                rhs1 = jnp.sum(tdy * pdiff, axis=0)
-                rhs = jnp.stack([rhs0, rhs1], axis=0)
+                rhs1 = jnp.sum(tdy * pdiff, axis=0, keepdims=True)
+                rhs = jnp.concatenate([rhs0, rhs1], axis=0)
             else:
-                rhs = rhs0[None, :]
+                rhs = rhs0
             dp = _solve_step(hes, rhs[None], nop)[0]
             p_new = p - dp
             if nop == 1:
@@ -1131,13 +1147,14 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 else:
                     p_new = jnp.maximum(p_new, 0.0)
             pt_new = to_pt(p_new)
-            moved = jnp.sqrt(jnp.sum((pt_new - pt0) ** 2, axis=0))
+            moved = jnp.sqrt(jnp.sum((pt_new - pt0) ** 2, axis=0,
+                                     keepdims=True))
             reset = (moved > params.outlierthresh) | oob(pt_new)
-            p_new = jnp.where(reset[None, :], p_init, p_new)
+            p_new = jnp.where(reset, p_init, p_new)
             pt_new = to_pt(p_new)
             pdiff_new, pweight_new, mares_new, cache_new = compute_err(
                 pt_new, active, cache)
-            dp_sqnorm = jnp.sum(dp * dp, axis=0)
+            dp_sqnorm = jnp.sum(dp * dp, axis=0, keepdims=True)
             dpn_init_new = jnp.where(it1 == 1, dp_sqnorm, dpn_init)
             keep = ((it1 < params.max_iter)
                     & (mares_new > params.res_thresh)
@@ -1148,9 +1165,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             active_new = active & keep & (~reset)
 
             def sel(new, old):
-                if new.ndim == 1:
-                    return jnp.where(active, new, old)
-                return jnp.where(active[None, :], new, old)
+                return jnp.where(active, new, old)
 
             return (sel(p_new, p), sel(pdiff_new, pdiff),
                     sel(pweight_new, pweight),
@@ -1159,7 +1174,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                     itcnt, cache_new)
 
         carry0 = (p_init, pdiff0, pweight0, active0.astype(jnp.float32),
-                  mares0, jnp.full((nb,), 1e-10, jnp.float32),
+                  mares0, jnp.full((1, nb), 1e-10, jnp.float32),
                   jnp.float32(0.0), cache0)
         out = jax.lax.fori_loop(0, params.max_iter, body, carry0)
         po_ref[0] = out[0]

@@ -138,23 +138,22 @@ def _warp_coeffs_pallas(wx: jnp.ndarray, wy: jnp.ndarray, bb: int):
     )(wx, wy)
 
 
-# HBM budget for the one-hot interpolation operands of the MXU warp (the
-# A matrices plus the x-interpolated Z tensor). Levels above it use the
-# banded shifted-slab warp (warp_image_banded) with a gather fallback.
-# Env-tunable for other TPU generations / memory configurations.
-import os as _os
-
-_MXU_WARP_BUDGET = int(float(_os.environ.get("OF_DIS_TPU_MXU_WARP_GB", "3"))
-                       * 1024 ** 3)
-
-
 def _use_mxu_warp(b: int, c: int, h: int, w: int, horiz_only: bool) -> bool:
+    # Per-pair HBM budget for the one-hot interpolation operands of the MXU
+    # warp (the A matrices plus the x-interpolated Z tensor). Levels above
+    # it use the banded shifted-slab warp (warp_image_banded) with a gather
+    # fallback. Measured crossover on v5e: op-2 levels (<=6 MB/pair) are
+    # ~40% faster on the MXU path, while op-3/4 fine levels (>=42 MB/pair)
+    # are faster banded — 32 MB splits them with batch-independent routing.
+    # Env-tunable (MB per pair) for other TPU generations.
     import os
     if os.environ.get("OF_DIS_TPU_NO_MXU_WARP"):
         return False
-    a_bytes = b * h * w * w * 4
-    z_bytes = 0 if horiz_only else b * c * h * h * w * 4
-    return a_bytes + z_bytes < _MXU_WARP_BUDGET
+    budget = int(float(os.environ.get("OF_DIS_TPU_MXU_WARP_MB", "32"))
+                 * 1024 ** 2)
+    a_bytes = h * w * w * 4
+    z_bytes = 0 if horiz_only else c * h * h * w * 4
+    return a_bytes + z_bytes < budget
 
 
 def warp_image_mxu(src: jnp.ndarray, coeffs):

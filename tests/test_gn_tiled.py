@@ -62,12 +62,22 @@ def _setup(noc=1, nop=2, costfct=0, patnorm=1, seed=0):
 @pytest.mark.parametrize("noc,nop,costfct,patnorm",
                          [(1, 2, 0, 1), (1, 2, 1, 1), (1, 1, 0, 1),
                           (1, 2, 2, 0), (3, 2, 0, 1), (3, 1, 0, 1)])
-def test_tiled_matches_xla(monkeypatch, noc, nop, costfct, patnorm):
+@pytest.mark.parametrize("force_single", [False, True])
+def test_tiled_matches_xla(monkeypatch, noc, nop, costfct, patnorm,
+                           force_single):
+    if force_single and (noc, nop, costfct, patnorm) not in (
+            (1, 2, 0, 1), (1, 1, 0, 1)):
+        pytest.skip("single-stage fallback covered on the two main modes")
+    if force_single:
+        monkeypatch.setenv("OF_DIS_TPU_TILE_SINGLE_STAGE", "1")
     prm, spec, im_b, tpl = _setup(noc, nop, costfct, patnorm)
     geom = patch_solver._pick_tile_geom(spec, prm)
-    # noc=3 must route through the two-stage (x-dot + band-select)
-    # formulation — the banded lhs fits no RGB window
-    assert geom is not None and geom.two_stage == (noc == 3)
+    assert geom is not None
+    # default picks the two-stage (x-dot + band-select) formulation — the
+    # wide nb=256 tiles and all RGB windows only fit without the banded
+    # lhs; OF_DIS_TPU_TILE_SINGLE_STAGE=1 exercises the banded-lhs form
+    # (noc=3 still routes two-stage: the banded lhs fits no RGB window)
+    assert geom.two_stage == ((not force_single) or noc == 3)
     n = spec.nopatches
     rng = np.random.default_rng(1)
     # smooth-ish init flow with moderate values (windows must fit)

@@ -38,17 +38,13 @@ def main():
     h_org, w_org = 436, 1024
     params = op_point_params(w_org, op, nop=2, noc=1, verbosity=0)
     rng = np.random.default_rng(0)
-    base = rng.random((b, 1, h_org, w_org)).astype(np.float32) * 255.0
-    # blur like bench.py: on raw noise the patch optimization produces
-    # wild flows that defeat the banded-warp / tiled-GN windows, profiling
-    # the fallback paths instead of the production ones
-    try:
-        import cv2
-        base = np.stack([[cv2.GaussianBlur(im[0], (7, 7), 2.0)]
-                         for im in base])
-    except ImportError:
-        pass
-    shift = np.roll(base, shift=(2, 3), axis=(2, 3))
+    # bench.py's pair generator: blurred noise + spatially-varying subpixel
+    # motion. Blur matters (raw noise produces wild flows that defeat the
+    # banded-warp / tiled-GN windows, profiling the fallbacks instead of the
+    # production paths); the varying field matters (a uniform integer shift
+    # lets the extraction cache skip its dot nearly always — flattering).
+    import bench as _bench
+    base, shift = _bench._make_pairs(rng, b, h_org, w_org)
     im_a = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))(
         jnp.asarray(base))
     im_b = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))(
