@@ -61,6 +61,34 @@ def main():
         print(f"{name:14s} {'OK' if ok else 'FAIL'}  epe_ratio={r:.5f} "
               f"(budget {budget})", flush=True)
 
+    # op-1 again under OF_DIS_TPU_EXACT_EXTRACT=1 (3-term bf16 plane
+    # split) — chip-side compile + no-harm coverage of the exact mode.
+    # Measured finding (round 3): for u8-sourced pyramids the default
+    # 2-term hi/lo split is ALREADY bit-exact through level >=4 (level
+    # values need 8+2*lv significand bits; two bf16 terms cover ~16), so
+    # on these goldens the exact mode reproduces the default result
+    # bit-for-bit and op-1's ~0.7% TPU delta is iteration-order float
+    # noise through the data-dependent early-stop predicate, NOT
+    # extraction error. The knob matters only for float/deep-pyramid
+    # inputs (>16 significand bits per value).
+    import jax as _jax
+    os.environ["OF_DIS_TPU_EXACT_EXTRACT"] = "1"
+    _jax.clear_caches()
+    try:
+        out = "/tmp/tpu_parity_of_int_op1_exact.flo"
+        cli.main(["run_OF_INT", os.path.join(g, "a.png"),
+                  os.path.join(g, "b.png"), out, "1", "--quiet"])
+        r = epe_ratio(io.read_flo(out),
+                      io.read_flo(os.path.join(g, "of_int_op1.flo")))
+        ok = r < 0.01
+        fails += 0 if ok else 1
+        print(f"{'OF_INT op1 f32':14s} {'OK' if ok else 'FAIL'}  "
+              f"epe_ratio={r:.5f} (budget 0.01; bit-equal to default on "
+              f"u8 pyramids — see tool docstring)", flush=True)
+    finally:
+        del os.environ["OF_DIS_TPU_EXACT_EXTRACT"]
+        _jax.clear_caches()
+
     # depth (.pfm, mean-abs ratio)
     for name, mode, i1, i2, golden in [
             ("DE_INT op2", "run_DE_INT", "a.png", "bs.png", "de_int_op2.pfm"),
