@@ -204,6 +204,7 @@ def warp_image_mxu_h(src: jnp.ndarray, coeffs):
 
 
 _BANDED_WARP_R = 16   # displacement band: valid when |floor(w)| <= R
+_BANDED_WARP_R_SMALL = 4   # tight first-try band (see warp_image_batched)
 
 
 def _banded_warp_valid(wx, wy, r, horiz_only=False):
@@ -318,19 +319,28 @@ def warp_image_batched(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
 
     if use_pallas:
         # large levels: banded shifted-slab warp when displacements fit the
-        # band (always, after coarse-to-fine init), gathers otherwise. Only
-        # the in-bounds mask is computed on the happy path — the full
-        # corner/weight coefficients are needed only by the gather branch,
-        # which builds them itself when (rarely) taken.
+        # band, gathers otherwise. The slab sum costs O((2r+2)^2) masked
+        # elementwise passes, so the radius cascades at runtime: the tight
+        # r=4 band (100 passes) covers typical fine-level flows (~10x
+        # cheaper than r=16's 1156 — ~5 ms/level at op-3 L1 batch 8),
+        # r=16 catches large-motion content, and only truly wild fields
+        # pay the gather. Only the in-bounds mask is computed on the happy
+        # path — the full corner/weight coefficients are needed only by
+        # the gather branch, which builds them itself when (rarely) taken.
+        r_small = _BANDED_WARP_R_SMALL
         r = _BANDED_WARP_R
-        valid = _banded_warp_valid(wx, wy, r, horiz_only)
         mask = _warp_coeffs(wx, wy)[-1]
         out = jax.lax.cond(
-            valid,
-            lambda _: warp_image_banded(src, wx, wy, r,
+            _banded_warp_valid(wx, wy, r_small, horiz_only),
+            lambda _: warp_image_banded(src, wx, wy, r_small,
                                         horiz_only=horiz_only),
-            lambda _: _warp_gather_packed(src, wx, wy,
-                                          _warp_coeffs(wx, wy)),
+            lambda _: jax.lax.cond(
+                _banded_warp_valid(wx, wy, r, horiz_only),
+                lambda __: warp_image_banded(src, wx, wy, r,
+                                             horiz_only=horiz_only),
+                lambda __: _warp_gather_packed(src, wx, wy,
+                                               _warp_coeffs(wx, wy)),
+                operand=None),
             operand=None)
         return out, mask
 

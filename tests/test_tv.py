@@ -232,3 +232,33 @@ def test_warp_banded_matches_oracle():
     # fallback branch)
     big = jnp.full_like(bwx, float(tv._BANDED_WARP_R + 3))
     assert not bool(tv._banded_warp_valid(big, bwy, tv._BANDED_WARP_R))
+
+
+def test_warp_banded_radius_cascade(monkeypatch):
+    """warp_image_batched's runtime radius cascade: subpixel flows take the
+    tight r=4 band, mid-range flows the r=16 band, wild flows the gather —
+    every branch must agree with the exact oracle warp."""
+    # small test images would route to the MXU warp; force the cascade
+    monkeypatch.setenv("OF_DIS_TPU_NO_MXU_WARP", "1")
+    im1, im2, wx, wy = _data()
+    src = jnp.asarray(im2)[None]
+    h, w = wx.shape
+    cases = [
+        (0.4, "r4"),                              # |floor| <= 1
+        (float(tv._BANDED_WARP_R_SMALL + 2), "r16"),
+        (float(tv._BANDED_WARP_R + 4), "gather"),
+    ]
+    for mag, name in cases:
+        fx = np.clip(wx, -0.9, 0.9) + mag
+        fy = np.clip(wy, -0.9, 0.9)
+        bwx, bwy = jnp.asarray(fx)[None], jnp.asarray(fy)[None]
+        small_ok = bool(tv._banded_warp_valid(bwx, bwy,
+                                              tv._BANDED_WARP_R_SMALL))
+        big_ok = bool(tv._banded_warp_valid(bwx, bwy, tv._BANDED_WARP_R))
+        assert small_ok == (name == "r4"), name
+        assert big_ok == (name != "gather"), name
+        out, _ = tv.warp_image_batched(src, bwx, bwy, use_pallas=True, bb=1)
+        ref, _ = otv.warp(im2, fx, fy)
+        # the gather branch quantizes to 16-bit packed pairs
+        atol = 1e-3 if name != "gather" else 0.1
+        np.testing.assert_allclose(np.asarray(out)[0], ref, atol=atol)
