@@ -787,9 +787,9 @@ class _TileGeom(NamedTuple):
 # geometry or VMEM budget rejects the wide tiles. NOTE: every per-patch
 # vector inside the kernel must stay rank-2 (1, nb) — Mosaic's layout
 # inference crashes joining rank-1 layouts once nb spans two vregs.
-_TILE_CANDIDATES = ((32, 8, 256, 72), (32, 8, 256, 80),
+_TILE_CANDIDATES = ((32, 8, 256, 64), (32, 8, 256, 72), (32, 8, 256, 80),
                     (64, 4, 384, 56), (16, 16, 256, 96),
-                    (16, 8, 256, 72), (16, 8, 256, 80),
+                    (16, 8, 256, 64), (16, 8, 256, 72), (16, 8, 256, 80),
                     (32, 4, 256, 56), (32, 4, 384, 56),
                     (64, 2, 384, 48), (128, 1, 512, 40))
 
@@ -1264,19 +1264,36 @@ def _tile_windows(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             & (sxM + mo + w1 <= xs + geom.xb)) | empty
     ok_y = ((ys <= jnp.maximum(sym - mo, 0))
             & (syM + mo <= ys + geom.yb - geom.wbnd + 7)) | empty
-    valid = jnp.all(ok_x & ok_y)
-    return p_init_p, ptr_p, xs, ys, valid
+    return p_init_p, ptr_p, xs, ys, ok_x & ok_y           # ok (B, T)
 
 
 def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                     im_b, tpl: PatchTemplates, p_init_t, pt_ref_t):
-    """Tiled windowed GN with runtime validity check: when any tile's
-    positions exceed its static window (wild coarser flow), fall back to
-    the exact unwindowed XLA path via lax.cond. Returns (p, pweight, iters)
-    as (B, nop, N), (B, D, N), () in column-major patch order."""
+    """Tiled windowed GN with bounded per-tile exact recompute.
+
+    Window validity is per (pair, tile): a tile whose init positions exceed
+    its static window (wild coarser flow — typically a motion-boundary tile)
+    no longer sends the whole level to the slow unwindowed path. Instead the
+    tiled kernel always runs (invalid tiles produce garbage harmlessly: the
+    one-hot extraction of out-of-window anchors selects nothing) and up to
+    k_max invalid tiles are recomputed exactly through the XLA path — the
+    per-patch GN is independent, so recomputing just those patches matches
+    the full fallback bit-for-bit. Only when more than k_max tiles are
+    invalid does the whole level fall back. Returns (p, pweight, iters) as
+    (B, nop, N), (B, D, N), () in column-major patch order."""
     psz, noc = params.p_samp_s, params.noc
-    p_init_p, ptr_p, xs, ys, valid = _tile_windows(
-        spec, params, geom, p_init_t, pt_ref_t, im_b.shape[0])
+    b = im_b.shape[0]
+    nb = geom.nb
+    p_init_p, ptr_p, xs, ys, ok = _tile_windows(
+        spec, params, geom, p_init_t, pt_ref_t, b)
+    t_tiles = ok.shape[1]
+    flat_ok = ok.reshape(-1)
+    nbad = jnp.sum(~flat_ok)
+    import os
+    k_env = os.environ.get("OF_DIS_TPU_TILE_FIXUP_MAX")
+    k_max = (int(k_env) if k_env is not None
+             else min(16, max(4, 2 * b)))
+    k_max = min(k_max, b * t_tiles)
 
     def tiled(_):
         take = lambda x: _tile_fwd(x, spec, geom)
@@ -1285,14 +1302,62 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
         planes5 = _build_planes5(im_b, psz, noc, geom.hppp, geom.wppp)
         p_fin, pw, it_out = _gn_tiled_pallas(spec, params, geom, planes5,
                                              tpl_p, p_init_p, ptr_p, xs, ys)
+        d = tpl_p.tmpl.shape[1]
+        if k_max == 0:       # fix-up disabled: any bad tile full-falls-back
+            return (_tile_inv(p_fin, spec, geom),
+                    _tile_inv(pw, spec, geom), jnp.max(it_out))
+
+        # ---- bounded per-tile exact recompute (slots: bad tiles first)
+        slot = jnp.argsort(flat_ok)[:k_max]              # (K,)
+        slot_bad = ~flat_ok[slot]
+        pair_i = slot // t_tiles
+        tile_i = slot % t_tiles
+
+        def fixup(_):
+            def g(x, k, pi):
+                return jax.lax.dynamic_slice(
+                    x, (pi, 0, tile_i[k] * nb), (1, x.shape[1], nb))[0]
+
+            def gather(x):                               # (B, C_, T*nb)
+                return jnp.stack(
+                    [g(x, k, pair_i[k]) for k in range(k_max)], 0)
+
+            tpl_fix = PatchTemplates(gather(tpl_p.tmpl), gather(tpl_p.tdx),
+                                     gather(tpl_p.tdy), gather(tpl_p.hes))
+            p0_fix = gather(p_init_p)
+            ptr_fix = jnp.stack(
+                [g(ptr_p, k, 0) for k in range(k_max)], 0)  # (K, 2, nb)
+            im_sel = jnp.take(im_b, pair_i, axis=0)
+            return _gn_xla_path(spec, params, im_sel, tpl_fix, p0_fix,
+                                ptr_fix)
+
+        def nofix(_):
+            return (jnp.zeros((k_max, params.nop, nb), jnp.float32),
+                    jnp.zeros((k_max, d, nb), jnp.float32),
+                    jnp.asarray(0, jnp.int32))
+
+        p_fix, pw_fix, it_fix = jax.lax.cond(nbad > 0, fixup, nofix,
+                                             operand=None)
+
+        def scat(dst, src):
+            for k in range(k_max):
+                start = (pair_i[k], 0, tile_i[k] * nb)
+                cur = jax.lax.dynamic_slice(dst, start,
+                                            (1, dst.shape[1], nb))
+                val = jnp.where(slot_bad[k], src[k][None], cur)
+                dst = jax.lax.dynamic_update_slice(dst, val, start)
+            return dst
+
+        p_fin = scat(p_fin, p_fix)
+        pw = scat(pw, pw_fix)
         return (_tile_inv(p_fin, spec, geom),
                 _tile_inv(pw, spec, geom),
-                jnp.max(it_out))
+                jnp.maximum(jnp.max(it_out), it_fix))
 
     def fallback(_):
         return _gn_xla_path(spec, params, im_b, tpl, p_init_t, pt_ref_t)
 
-    return jax.lax.cond(valid, tiled, fallback, operand=None)
+    return jax.lax.cond(nbad <= k_max, tiled, fallback, operand=None)
 
 
 @partial(jax.jit, static_argnames=("spec", "params"))

@@ -93,8 +93,8 @@ def test_tiled_matches_xla(monkeypatch, noc, nop, costfct, patnorm,
 
 def test_tiled_fallback_on_wild_flow(monkeypatch):
     """Per-tile window validity: a huge-spread init flow exceeds any static
-    window, so the lax.cond fallback (exact XLA path) must produce the
-    result."""
+    window on more than k_max tiles, so the full-fallback lax.cond branch
+    (exact XLA path) must produce the result."""
     prm, spec, im_b, tpl = _setup()
     n = spec.nopatches
     rng = np.random.default_rng(2)
@@ -103,6 +103,54 @@ def test_tiled_fallback_on_wild_flow(monkeypatch):
     got = _run(prm, spec, im_b, tpl, p_init, "tiled", monkeypatch)
     np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_single_bad_tile_fixup(monkeypatch):
+    """A motion-boundary-style init flow (one tile with a wild internal
+    spread, everything else smooth) must take the bounded per-tile
+    recompute — NOT the whole-level fallback — and still match the exact
+    XLA path everywhere, including inside the recomputed tile."""
+    # a tall plane: the small default test level's clipped window covers
+    # its whole reachable range, so no in-plane spread can invalidate a
+    # tile there
+    h2, w2 = 160, 200
+    psz = 8
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=8, min_iter=8, p_samp_s=psz,
+                    patove=0.4, costfct=0, patnorm=1, noc=1, nop=2,
+                    usetvref=False)
+    spec = make_level_spec(0, w2, h2, prm)
+    img_a, img_b = _make_pair(h2, w2, seed=3)
+    im_a, dx_a, dy_a, im_b = _level_data(img_a, img_b, psz)
+    tpl = patch_solver.extract_templates(spec, prm, jnp.asarray(im_a),
+                                         jnp.asarray(dx_a),
+                                         jnp.asarray(dy_a))
+    geom = patch_solver._pick_tile_geom(spec, prm)
+    n = spec.nopatches
+    rng = np.random.default_rng(3)
+    p_init = rng.normal(0, 1.0, (n, 2)).astype(np.float32)
+    # poison one mid-grid tile with an in-plane y-spread far beyond the
+    # window band (positions stay inside bounds: not init-OOB)
+    perm, _, t_tiles = patch_solver._tile_perm(spec, geom)
+    tile1 = perm[geom.nb:2 * geom.nb]
+    tile1 = tile1[tile1 >= 0]
+    ptr_np = np.asarray(patch_solver.grid_ref_points(spec))
+    lo, hi = float(spec.tmp_lb) + 1.0, float(spec.tmp_ubh) - 1.0
+    p_init[tile1[0], 1] = hi - ptr_np[tile1[0], 1]
+    p_init[tile1[-1], 1] = lo - ptr_np[tile1[-1], 1]
+    p_init = jnp.asarray(p_init)
+    ptr = patch_solver.grid_ref_points(spec).T[None]
+    *_, ok = patch_solver._tile_windows(
+        spec, prm, geom, jnp.swapaxes(p_init, 0, 1)[None], ptr, 1)
+    okm = np.asarray(ok).reshape(-1)
+    assert not okm[1]                      # the poisoned tile is invalid
+    assert okm.sum() == okm.size - 1       # every other tile is fine
+    want = _run(prm, spec, im_b, tpl, p_init, "xla", monkeypatch)
+    got = _run(prm, spec, im_b, tpl, p_init, "tiled", monkeypatch)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.pweight),
+                               np.asarray(want.pweight),
+                               rtol=1e-3, atol=5e-2)
 
 
 def test_tiled_init_oob_patches(monkeypatch):
@@ -139,10 +187,10 @@ def test_window_validity_smooth_flow_op3_geometry():
                            np.full(n, 2.0 / 2 ** sl)], 1).astype(np.float32)
         p_init += rng.normal(0, 0.5, (n, 2)).astype(np.float32)
         ptr = patch_solver.grid_ref_points(spec).T[None]
-        *_, valid = patch_solver._tile_windows(
+        *_, ok = patch_solver._tile_windows(
             spec, prm, geom, jnp.swapaxes(jnp.asarray(p_init), 0, 1)[None],
             ptr, 1)
-        assert bool(valid), sl
+        assert bool(jnp.all(ok)), sl
 
 
 def test_tiled_depth_right_camera(monkeypatch):

@@ -36,7 +36,21 @@ def main():
     params = op_point_params(w_org, op, nop=nop, noc=noc, verbosity=0)
     rng = np.random.default_rng(0)
     import bench as _bench
-    if nop == 2:
+    if os.environ.get("BENCH_MOTION") == "boundary" and nop == 2:
+        # motion-discontinuity field: a moving "object" block whose flow
+        # jumps ~25 px against the background — tiles straddling the
+        # boundary exceed the tiled-GN windows, exercising the bounded
+        # per-tile recompute (and the r=16 warp band) instead of the
+        # smooth-field fast path
+        base, _ = _bench._make_pairs(rng, b, h_org, w_org, noc=noc)
+        u, v = _bench._flow_field(h_org, w_org)
+        yy, xx = np.mgrid[0:h_org, 0:w_org]
+        obj = ((yy > h_org // 4) & (yy < h_org // 2)
+               & (xx > w_org // 3) & (xx < 2 * w_org // 3))
+        u = (u + obj * 25.0).astype(np.float32)
+        v = (v + obj * 12.0).astype(np.float32)
+        shift = _bench._warp_pairs(base, u, v)
+    elif nop == 2:
         base, shift = _bench._make_pairs(rng, b, h_org, w_org, noc=noc)
     else:
         base, _ = _bench._make_pairs(rng, b, h_org, w_org, noc=noc)
