@@ -264,9 +264,14 @@ def _bilerp_select_pure(t, sy, ry, rx, psz, c, hp):
 def _bilerp_block(b: int, w1: int, c: int, hp: int, n: int):
     """Largest batch block whose t-slab fits the VMEM budget, or None when
     even a single pair exceeds it (large op-3/4 levels) — the pure path is
-    used then."""
+    used then. The slab is counted ~3x: Pallas double-buffers the input
+    block across grid steps and the kernel's tv_*dyj product materializes
+    a slab-sized temporary (measured 18.1M peak at a 6.3M slab — the old
+    6M single-slab check OOMed the 16M VMEM stack on the per-tile fix-up's
+    op-4 L0 geometry)."""
+    cap = _vmem_cap(12 * 1024 * 1024)
     for cand in (8, 4, 2, 1):
-        if b % cand == 0 and cand * w1 * c * hp * n * 4 < 6 * 1024 * 1024:
+        if b % cand == 0 and 3 * cand * w1 * c * hp * n * 4 < cap:
             return cand
     return None
 
@@ -541,9 +546,11 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
             outs = []
             for k in range(bb):
                 # multi-hot over the K-stacked term planes: one MXU dot
-                # computes sum_t plane_t@oh
+                # computes sum_t plane_t@oh. Per-pair values are sliced
+                # rank-2 (1, n) — rank-1 (n,) vectors cost Mosaic an
+                # implicit-dim layout (measured 24% on the tiled kernel)
                 cols = jax.lax.broadcasted_iota(jnp.int32, (wp2, n), 0)
-                sxk = sx[k][None, :]
+                sxk = sx[k:k + 1]
                 ohm = cols == sxk
                 for term in range(1, nterms):
                     ohm = ohm | (cols == sxk + term * wp)
@@ -551,19 +558,20 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                 t = jnp.dot(lh_ref[k], oh,
                             preferred_element_type=jnp.float32)
                 t = t.reshape(w1 * c, hpb, n)
-                bi = jax.lax.shift_right_logical(sy[k], 3)
+                syk = sy[k:k + 1]                        # (1, n)
+                bi = jax.lax.shift_right_logical(syk, 3)
                 tb = jnp.zeros((w1 * c, wb, n), jnp.float32)
                 for band in range(nbands):
-                    m = (bi == band)[None, None, :]
+                    m = (bi == band)[None]
                     tb = tb + jnp.where(
                         m, t[:, 8 * band:8 * band + wb, :], 0.0)
-                s3 = jnp.bitwise_and(sy[k], 7)
+                s3 = jnp.bitwise_and(syk, 7)
                 a = tb
                 for bit in range(3):
                     amt = 1 << bit
                     rolled = pltpu.roll(a, (wb - amt) % wb, 1)
                     m = (jnp.bitwise_and(jax.lax.shift_right_logical(
-                        s3, bit), 1) == 1)[None, None, :]
+                        s3, bit), 1) == 1)[None]
                     a = jnp.where(m, rolled, a)
                 # a[:, j, :] == t[:, sy + j, :] for j in 0..psz
                 outs.append(a)
@@ -592,8 +600,8 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
             outs = []
             for k in range(bb):
                 a = av[k]
-                ryk = ry[k][None, :]
-                rxk = rx[k][None, None, :]
+                ryk = ry[k:k + 1]                             # (1, n)
+                rxk = rx[k:k + 1][None]                       # (1, 1, n)
                 rows = [a[:, j, :] for j in range(psz + 1)]   # (w1*c, n)
                 parts = []
                 for j in range(psz):
