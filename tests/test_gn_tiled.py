@@ -171,6 +171,37 @@ def test_tiled_init_oob_patches(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_tiled_fixup_disabled_env(monkeypatch):
+    """OF_DIS_TPU_TILE_FIXUP_MAX=0 restores whole-level-fallback behavior:
+    with any bad tile the exact XLA path must produce the result (and the
+    k_max==0 structural path must trace)."""
+    monkeypatch.setenv("OF_DIS_TPU_TILE_FIXUP_MAX", "0")
+    prm, spec, im_b, tpl = _setup()
+    n = spec.nopatches
+    rng = np.random.default_rng(5)
+    p_init = jnp.asarray(rng.uniform(-60, 60, (n, 2)).astype(np.float32))
+    want = _run(prm, spec, im_b, tpl, p_init, "xla", monkeypatch)
+    got = _run(prm, spec, im_b, tpl, p_init, "tiled", monkeypatch)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mxu_warp_budget_routing():
+    """The per-pair MXU-warp budget routes op-2-sized levels to the MXU
+    one-hot path and op-3 fine levels to the banded cascade, independent
+    of batch size."""
+    from of_dis_tpu.ops import tv
+    # op-2 finest level (128x56): ~5 MB/pair -> MXU at any batch
+    assert tv._use_mxu_warp(1, 1, 56, 128, False)
+    assert tv._use_mxu_warp(64, 1, 56, 128, False)
+    # op-3 L2 (256x112): ~42 MB/pair -> banded
+    assert not tv._use_mxu_warp(1, 1, 112, 256, False)
+    # op-3 L1 (512x224): way over -> banded
+    assert not tv._use_mxu_warp(8, 1, 224, 512, False)
+    # horizontal-only (depth) drops the Z term: budget covers more
+    assert tv._use_mxu_warp(1, 1, 112, 256, True)
+
+
 def test_window_validity_smooth_flow_op3_geometry():
     """A smooth, small-magnitude coarser flow must produce valid windows at
     the real op-3 level geometries (valid=False would silently run the slow
