@@ -44,13 +44,18 @@ class _ProducerError:
 
 
 def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
-                 batch: int = 16, mode: str = "run_OF_INT",
+                 batch: int = 0, mode: str = "run_OF_INT",
                  verbose: bool = True) -> int:
     """Stream a frame directory through the batched DIS pipeline.
 
     Returns the number of frame pairs processed. Batches overlap: host
     decode of batch k+1 and .flo writes of batch k-1 run concurrently with
     device compute of batch k.
+
+    batch=0 picks the measured per-op-point sweet spot: large batches for
+    the coarse op-points (device-bound, amortizes dispatch), 8 for op-3/4
+    — their fine-level glue (cond output relayouts) scales superlinearly
+    with batch on TPU, so op-3 throughput PEAKS near batch 8 (PERF.md).
     """
     import jax
     import jax.numpy as jnp
@@ -60,6 +65,8 @@ def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
     from of_dis_tpu.params import op_point_params, pad_amounts
     from of_dis_tpu.utils import io as uio
 
+    if not batch:
+        batch = 8 if op_point >= 3 else 64
     noc = 3 if "RGB" in mode else 1
     frames = sorted(
         os.path.join(frame_dir, f) for f in os.listdir(frame_dir)
