@@ -44,27 +44,60 @@ def _flow_field(h, w, scale=1.0):
     return u * scale, v * scale
 
 
+def _remap_np(img, mx, my):
+    """NumPy bilinear backward warp with edge clamp (cv2.remap fallback)."""
+    h, w = img.shape
+    x0 = np.clip(np.floor(mx).astype(np.int64), 0, w - 1)
+    y0 = np.clip(np.floor(my).astype(np.int64), 0, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = np.clip(mx - x0, 0.0, 1.0).astype(np.float32)
+    fy = np.clip(my - y0, 0.0, 1.0).astype(np.float32)
+    return ((1 - fy) * ((1 - fx) * img[y0, x0] + fx * img[y0, x1])
+            + fy * ((1 - fx) * img[y1, x0] + fx * img[y1, x1]))
+
+
 def _warp_pairs(base, u, v):
     """Backward-warp each (C,H,W) frame by (u, v): out(x) = in(x - f(x)),
     so the estimated flow of (base, out) is ~(u, v)."""
-    import cv2
     h, w = base.shape[2], base.shape[3]
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     mx, my = xx - u, yy - v
     out = np.empty_like(base)
+    try:
+        import cv2
+    except ImportError:
+        cv2 = None
     for i in range(base.shape[0]):
         for c in range(base.shape[1]):
-            out[i, c] = cv2.remap(base[i, c], mx, my, cv2.INTER_LINEAR,
-                                  borderMode=cv2.BORDER_REFLECT)
+            if cv2 is not None:
+                out[i, c] = cv2.remap(base[i, c], mx, my, cv2.INTER_LINEAR,
+                                      borderMode=cv2.BORDER_REFLECT)
+            else:
+                out[i, c] = _remap_np(base[i, c], mx, my)
     return out
 
 
+def _blur(img):
+    """7x7 sigma-2 Gaussian blur (numpy separable fallback without cv2)."""
+    try:
+        import cv2
+        return cv2.GaussianBlur(img, (7, 7), 2.0)
+    except ImportError:
+        x = np.arange(-3, 4, dtype=np.float32)
+        k = np.exp(-x * x / (2 * 2.0 ** 2))
+        k /= k.sum()
+        p = np.pad(img, 3, mode="reflect")
+        p = np.apply_along_axis(lambda r: np.convolve(r, k, "valid"), 1, p)
+        return np.apply_along_axis(
+            lambda r: np.convolve(r, k, "valid"), 0, p).astype(np.float32)
+
+
 def _make_pairs(rng, batch, h, w, noc=1, flow_scale=1.0):
-    import cv2
     base = rng.random((batch, noc, h, w)).astype(np.float32) * 255.0
     for i in range(batch):
         for c in range(noc):
-            base[i, c] = cv2.GaussianBlur(base[i, c], (7, 7), 2.0)
+            base[i, c] = _blur(base[i, c])
     u, v = _flow_field(h, w, flow_scale)
     return base, _warp_pairs(base, u, v)
 

@@ -1335,6 +1335,11 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             p0_fix = gather(p_init_p)
             ptr_fix = jnp.stack(
                 [g(ptr_p, k, 0) for k in range(k_max)], 0)  # (K, 2, nb)
+            # slots from the same pair duplicate that pair's image (and its
+            # shifted planes inside _gn_xla_path) — bounded at k_max copies
+            # on a branch that only executes when a tile went invalid;
+            # per-slot extraction dots are irreducible either way (each
+            # slot's patches need their own one-hot dot)
             im_sel = jnp.take(im_b, pair_i, axis=0)
             return _gn_xla_path(spec, params, im_sel, tpl_fix, p0_fix,
                                 ptr_fix)
@@ -1358,9 +1363,13 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
 
         p_fin = scat(p_fin, p_fix)
         pw = scat(pw, pw_fix)
+        # invalid tiles' kernel iteration counts are garbage (their
+        # windows extracted zeros): mask them out of the diagnostic like
+        # their p/pweight were replaced above
+        it_valid = jnp.max(jnp.where(ok, it_out, 0))
         return (_tile_inv(p_fin, spec, geom),
                 _tile_inv(pw, spec, geom),
-                jnp.maximum(jnp.max(it_out), it_fix))
+                jnp.maximum(it_valid, it_fix))
 
     def fallback(_):
         return _gn_xla_path(spec, params, im_b, tpl, p_init_t, pt_ref_t)

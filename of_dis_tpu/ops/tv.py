@@ -149,10 +149,14 @@ def _use_mxu_warp(b: int, c: int, h: int, w: int, horiz_only: bool) -> bool:
     import os
     if os.environ.get("OF_DIS_TPU_NO_MXU_WARP"):
         return False
-    budget = int(float(os.environ.get("OF_DIS_TPU_MXU_WARP_MB", "32"))
-                 * 1024 ** 2)
     a_bytes = h * w * w * 4
     z_bytes = 0 if horiz_only else c * h * h * w * 4
+    legacy = os.environ.get("OF_DIS_TPU_MXU_WARP_GB")
+    if legacy is not None:
+        # pre-round-3 knob: absolute budget over the whole batch
+        return b * (a_bytes + z_bytes) < int(float(legacy) * 1024 ** 3)
+    budget = int(float(os.environ.get("OF_DIS_TPU_MXU_WARP_MB", "32"))
+                 * 1024 ** 2)
     return a_bytes + z_bytes < budget
 
 

@@ -47,12 +47,14 @@ def halo_depth(n_inner: int, n_solver: int) -> int:
     return 4 + n_inner * (2 + 2 * n_solver)
 
 
-def _exchange_flow_halo(wx, wy, d, axis_name, n_shards):
-    """Pad local (hL, W) flow blocks with d rows from each neighbor.
+def _exchange_flow_halo(*fields, d, axis_name, n_shards):
+    """Pad each local (hL, W) flow block with d rows from each neighbor.
 
     Missing neighbors (global top/bottom) are filled with replicated edge
     rows, which reproduces the reference's clamped borders for the
-    derivative stencils. Returns (hL + 2d, W) blocks.
+    derivative stencils. Returns one (hL + 2d, W) block per field (a
+    single block unwrapped) — pass only the fields that exist so the
+    depth path pays one halo exchange, not two.
     """
     def pad(x):
         up, down = None, None
@@ -72,7 +74,8 @@ def _exchange_flow_halo(wx, wy, d, axis_name, n_shards):
             up, down = top_fill, bot_fill
         return jnp.concatenate([up, x, down], axis=0)
 
-    return pad(wx), pad(wy)
+    out = tuple(pad(f) for f in fields)
+    return out[0] if len(out) == 1 else out
 
 
 def _warp_global(src, wx, wy, gy0, gh):
@@ -123,7 +126,8 @@ def _local_ref_level_of(wx, wy, im1, im2, *, axis_name, n_shards, gh,
         # padded block starts at global row idx*hl - d, which must be even
         # for every shard so local and global colors coincide (d is even).
         assert hl % 2 == 0, "shard height must be even for red-black parity"
-    wxp, wyp = _exchange_flow_halo(wx, wy, d, axis_name, n_shards)
+    wxp, wyp = _exchange_flow_halo(wx, wy, d=d, axis_name=axis_name,
+                                   n_shards=n_shards)
     gy0 = jax.lax.axis_index(axis_name) * hl - d
 
     # local de-pad of the replicated images to this shard's padded rows:
@@ -202,7 +206,8 @@ def _local_ref_level_de(wx, im1, im2, *, axis_name, n_shards, gh, noc,
         assert d <= hl, (
             f"halo depth {d} exceeds shard height {hl}; use fewer shards")
         assert hl % 2 == 0, "shard height must be even for red-black parity"
-    wxp, _ = _exchange_flow_halo(wx, wx, d, axis_name, n_shards)
+    wxp = _exchange_flow_halo(wx, d=d, axis_name=axis_name,
+                              n_shards=n_shards)
     gy0 = jax.lax.axis_index(axis_name) * hl - d
 
     rows = jnp.clip(gy0 + jnp.arange(hl + 2 * d), 0, gh - 1)

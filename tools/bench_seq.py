@@ -41,9 +41,8 @@ def main():
     # flattering, see bench.py docstring)
     import bench as _bench
     base = rng.random((s, 1, h_org, w_org)).astype(np.float32) * 255.0
-    import cv2
     for i in range(s):
-        base[i, 0] = cv2.GaussianBlur(base[i, 0], (7, 7), 2.0)
+        base[i, 0] = _bench._blur(base[i, 0])
     u, v = _bench._flow_field(h_org, w_org)
     frames = np.stack([_bench._warp_pairs(base, k * u, k * v)
                        for k in range(t)])          # (T, S, C, H, W)
