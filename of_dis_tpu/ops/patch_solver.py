@@ -836,7 +836,7 @@ def _pick_tile_geom(spec: LevelSpec, params: DISParams):
     forms = ((False, True) if os.environ.get("OF_DIS_TPU_TILE_SINGLE_STAGE")
              else (True, False))
     for two_stage in forms:
-        cap = _vmem_cap((6 if not two_stage else 8) * 1024 * 1024)
+        cap = _vmem_cap((6 if not two_stage else 9) * 1024 * 1024)
         for tx, ty, xb, yb in _TILE_CANDIDATES:
             nb = tx * ty           # lane width == patches per program
             # static coverage: tile spread + drift margin + alignment waste
@@ -846,7 +846,8 @@ def _pick_tile_geom(spec: LevelSpec, params: DISParams):
                 continue
             nbands = (yb - wbnd) // 8 + 1
             nt = _extract_terms()
-            common = (nt * w1c * yb * xb * 2     # win scratch (bf16)
+            common = (nt * w1c * yb * xb * 2     # shifted-win scratch (bf16)
+                      + nt * noc * yb * (xb + 128) * 2  # raw DMA window
                       + 2 * 3 * d * nb * 4      # blocked tmpl/tdx/tdy (x2)
                       + 10 * d * nb * 4)        # carry + outputs + temps
             if not two_stage:
@@ -863,11 +864,13 @@ def _pick_tile_geom(spec: LevelSpec, params: DISParams):
             if est > cap:
                 continue
             # over-pad by one full window so the clip of xs/ys to
-            # [0, wppp-xb]/[0, hppp-yb] never forces a window that starts
-            # before the desired origin (small levels: plane barely taller
-            # than the window -> ys pinned at 0 -> band coverage short)
+            # [0, wppp-(xb+128)]/[0, hppp-yb] never forces a window that
+            # starts before the desired origin (small levels: plane barely
+            # taller than the window -> ys pinned at 0 -> bands short).
+            # The DMA window is xb+128 wide: the kernel builds the w1
+            # column-shifted copies from it in VMEM
             hppp = _round_up(spec.padded_height, 8) + yb
-            wppp = _round_up(spec.padded_width, 128) + xb
+            wppp = _round_up(spec.padded_width, 128) + xb + 128
             return _TileGeom(tx, ty, nb, xb, yb, wbnd, nbands, margin,
                              hppp, wppp, two_stage)
     return None
@@ -926,27 +929,21 @@ def _tile_inv(x: jnp.ndarray, spec: LevelSpec, geom: _TileGeom):
     return y.reshape(b, k, nopw * noph)
 
 
-def _build_planes5(im_b: jnp.ndarray, psz: int, noc: int, hppp: int,
-                   wppp: int) -> jnp.ndarray:
-    """(B, C, Hp, Wp) padded level images -> (B, nterms, w1*C, hppp, wppp)
-    bf16 term-split column-shifted planes, zero-padded to the DMA window
-    bounds (nterms = 2, or 3 in exact-extract mode)."""
-    b, c, hp, wp = im_b.shape
-    w1 = psz + 1
-    # concatenate flat (C*hp, wp) blocks instead of a 5-D stack+reshape:
-    # the stacked form makes XLA pick T(1,128) layouts and relayout-copy
-    # (~4 ms/field at op-3 L1 on the profile)
-    cat = jnp.concatenate([
-        jnp.pad(im_b[:, :, :, s:],
-                ((0, 0), (0, 0), (0, 0), (0, s))).reshape(b, c * hp, wp)
-        for s in range(w1)], axis=1)                   # (B, w1*C*hp, wp)
-    sh = cat.reshape(b, w1 * c, hp, wp)
-    sh = jnp.pad(sh, ((0, 0), (0, 0), (0, hppp - hp), (0, wppp - wp)))
-    return jnp.stack(_split_bf16(sh), axis=1)       # (B, nt, w1c, hppp, wppp)
+def _build_planes2(im_b: jnp.ndarray, hppp: int, wppp: int) -> jnp.ndarray:
+    """(B, C, Hp, Wp) padded level images -> (B, nterms, C, hppp, wppp)
+    bf16 term-split planes, zero-padded to the DMA window bounds
+    (nterms = 2, or 3 in exact-extract mode). The w1 column-shifted
+    copies the extraction dot needs are built INSIDE the tiled kernel
+    from each tile's DMA'd window — materializing them here cost a
+    w1(=psz+1)-times-the-image HBM array (~119 MB/batch-8 at op-3 L1)
+    and w1x the per-program window DMA traffic."""
+    sh = jnp.pad(im_b, ((0, 0), (0, 0), (0, hppp - im_b.shape[2]),
+                        (0, wppp - im_b.shape[3])))
+    return jnp.stack(_split_bf16(sh), axis=1)       # (B, nt, C, hppp, wppp)
 
 
 def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
-                     planes5, tpl_p: PatchTemplates, p_init_p, ptr_p,
+                     planes2, tpl_p: PatchTemplates, p_init_p, ptr_p,
                      xs, ys):
     """Windowed tiled Gauss-Newton kernel for large fine levels.
 
@@ -959,7 +956,9 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
     a stride-8 banded lhs in VMEM once, and runs the full GN loop with a
     joint (band, hi/lo, x) one-hot dot of K = nbands*2*xb << 2*Wp.
 
-    planes5: (B, 2, w1c, hppp, wppp) bf16; tpl_p fields (B, D, Np) in
+    planes2: (B, nt, C, hppp, wppp) bf16 term-split plane images (the w1
+    column-shifted copies are built in VMEM per program); tpl_p fields
+    (B, D, Np) in
     tiled patch order; p_init_p (B, nop, Np); ptr_p (1, 2, Np) with -1e6
     at ragged-pad slots; xs/ys (B, T) int32 window origins (128/8-aligned).
     Returns (p (B, nop, Np), pweight (B, D, Np)) in tiled order.
@@ -972,9 +971,9 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
     w1c = w1 * noc
     nb, xb, yb = geom.nb, geom.xb, geom.yb
     wbnd, nbands = geom.wbnd, geom.nbands
-    nterms = planes5.shape[1]              # 2, or 3 in exact-extract mode
+    nterms = planes2.shape[1]              # 2, or 3 in exact-extract mode
     kdim = nbands * nterms * xb
-    b = planes5.shape[0]
+    b = planes2.shape[0]
     d = tpl_p.tmpl.shape[1]
     n_pad = tpl_p.tmpl.shape[2]
     t_tiles = n_pad // nb
@@ -984,10 +983,10 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
     def kernel(xs_ref, ys_ref, planes_ref, tm_ref, tx_ref, ty_ref, he_ref,
                p0_ref, pr_ref, po_ref, pw_ref, it_ref, *scratch):
         if geom.two_stage:
-            win, sem = scratch
+            wdma, win, sem = scratch
             lhs = None
         else:
-            win, lhs, sem = scratch
+            wdma, win, lhs, sem = scratch
         bi_ = pl.program_id(0)
         ti_ = pl.program_id(1)
         # alignment hints: Mosaic must prove the DMA offsets divide the
@@ -995,10 +994,18 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
         xs0 = pl.multiple_of(xs_ref[bi_, ti_], 128)
         ys0 = pl.multiple_of(ys_ref[bi_, ti_], 8)
         dma = pltpu.make_async_copy(
-            planes_ref.at[bi_, :, :, pl.ds(ys0, yb), pl.ds(xs0, xb)],
-            win, sem)
+            planes_ref.at[bi_, :, :, pl.ds(ys0, yb), pl.ds(xs0, xb + 128)],
+            wdma, sem)
         dma.start()
         dma.wait()
+        # build the w1 column-shifted copies in VMEM (win[h, s*noc+ch] =
+        # window shifted left by s): one DMA of the raw window instead of
+        # w1 HBM plane copies — the lane-offset slices are cheap VPU work
+        # paid once per program, amortized over the GN iterations
+        for h in range(nterms):
+            for s in range(w1):
+                for ch in range(noc):
+                    win[h, s * noc + ch] = wdma[h, ch, :, s:s + xb]
         if not geom.two_stage:
             for band in range(nbands):
                 for h in range(nterms):
@@ -1213,11 +1220,12 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
         ],
         out_specs=(blk_p, blk_d, blk_it),
         scratch_shapes=(
-            [pltpu.VMEM((nterms, w1c, yb, xb), jnp.bfloat16)]
+            [pltpu.VMEM((nterms, noc, yb, xb + 128), jnp.bfloat16),
+             pltpu.VMEM((nterms, w1c, yb, xb), jnp.bfloat16)]
             + ([] if geom.two_stage else
                [pltpu.VMEM((w1c * wbnd, kdim), jnp.bfloat16)])
             + [pltpu.SemaphoreType.DMA(())]),
-    )(xs, ys, planes5, tpl_p.tmpl, tpl_p.tdx, tpl_p.tdy, tpl_p.hes,
+    )(xs, ys, planes2, tpl_p.tmpl, tpl_p.tdx, tpl_p.tdy, tpl_p.hes,
       p_init_p, ptr_p)
 
 
@@ -1262,7 +1270,7 @@ def _tile_windows(spec: LevelSpec, params: DISParams, geom: _TileGeom,
     sxm, sxM = mima(sx0)
     sym, syM = mima(sy0)
     xs = jnp.clip(jnp.floor_divide(sxm - mo, 128) * 128, 0,
-                  geom.wppp - geom.xb).astype(jnp.int32)
+                  geom.wppp - (geom.xb + 128)).astype(jnp.int32)
     ys = jnp.clip(jnp.floor_divide(sym - mo, 8) * 8, 0,
                   geom.hppp - geom.yb).astype(jnp.int32)
     # coverage: every reachable column/row either inside the window or
@@ -1307,8 +1315,8 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
         take = lambda x: _tile_fwd(x, spec, geom)
         tpl_p = PatchTemplates(take(tpl.tmpl), take(tpl.tdx),
                                take(tpl.tdy), take(tpl.hes))
-        planes5 = _build_planes5(im_b, psz, noc, geom.hppp, geom.wppp)
-        p_fin, pw, it_out = _gn_tiled_pallas(spec, params, geom, planes5,
+        planes2 = _build_planes2(im_b, geom.hppp, geom.wppp)
+        p_fin, pw, it_out = _gn_tiled_pallas(spec, params, geom, planes2,
                                              tpl_p, p_init_p, ptr_p, xs, ys)
         d = tpl_p.tmpl.shape[1]
         if k_max == 0:       # fix-up disabled: any bad tile full-falls-back
