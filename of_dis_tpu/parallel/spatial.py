@@ -112,12 +112,16 @@ def _warp_global(src, wx, wy, gy0, gh):
     return out, mask
 
 
-def _local_ref_level_of(wx, wy, im1, im2, *, axis_name, n_shards, gh,
-                        noc, quarter_alpha, hd3, hg3, n_inner, n_solver,
-                        omega):
-    """Shard-local body: runs inside shard_map. wx/wy (hL, W) local rows;
-    im1/im2 (C, H, W) replicated."""
-    hl, w = wx.shape
+def _shard_prologue(flow_fields, im1, im2, *, axis_name, n_shards, gh,
+                    n_inner, n_solver):
+    """Shared shard-local setup for the OF and DE bodies: halo-exchange the
+    flow field(s), de-pad the replicated images to this shard's padded
+    rows, warp, build the derivative fields, and the boundary masks.
+
+    flow_fields: (wx,) for depth (wy == 0) or (wx, wy) for flow — the
+    depth path pays a single-field halo exchange. Returns (padded flows
+    tuple, warp mask, i_fields, _rep, not_last, d)."""
+    hl, _ = flow_fields[0].shape
     d = halo_depth(n_inner, n_solver)   # always even (4 + n_inner*even)
     if n_shards > 1:
         assert d <= hl, (
@@ -126,17 +130,19 @@ def _local_ref_level_of(wx, wy, im1, im2, *, axis_name, n_shards, gh,
         # padded block starts at global row idx*hl - d, which must be even
         # for every shard so local and global colors coincide (d is even).
         assert hl % 2 == 0, "shard height must be even for red-black parity"
-    wxp, wyp = _exchange_flow_halo(wx, wy, d=d, axis_name=axis_name,
-                                   n_shards=n_shards)
+    padded = _exchange_flow_halo(*flow_fields, d=d, axis_name=axis_name,
+                                 n_shards=n_shards)
+    if len(flow_fields) == 1:
+        padded = (padded,)
     gy0 = jax.lax.axis_index(axis_name) * hl - d
 
     # local de-pad of the replicated images to this shard's padded rows:
     # global rows are clamped into [0, gh) to mirror the replicated halo fill
     rows = jnp.clip(gy0 + jnp.arange(hl + 2 * d), 0, gh - 1)
     im1_loc = jnp.take(im1, rows, axis=1)
-    im2_full = im2  # warp gathers globally
 
-    w_im2, mask = _warp_global(im2_full, wxp, wyp, gy0, gh)
+    wyp = padded[1] if len(padded) == 2 else jnp.zeros_like(padded[0])
+    w_im2, mask = _warp_global(im2, padded[0], wyp, gy0, gh)
 
     # Out-of-image halo rows must stay replicas of the global edge row so
     # that every vertical stencil sees the unsharded clamp semantics — for
@@ -166,6 +172,18 @@ def _local_ref_level_of(wx, wy, im1, im2, *, axis_name, n_shards, gh,
     # in the unsharded solver)
     grow = grow_v[:, None]
     not_last = ((grow >= 0) & (grow < gh - 1)).astype(jnp.float32)
+    return padded, mask, i_fields, _rep, not_last, d
+
+
+def _local_ref_level_of(wx, wy, im1, im2, *, axis_name, n_shards, gh,
+                        noc, quarter_alpha, hd3, hg3, n_inner, n_solver,
+                        omega):
+    """Shard-local body: runs inside shard_map. wx/wy (hL, W) local rows;
+    im1/im2 (C, H, W) replicated."""
+    hl = wx.shape[0]
+    (wxp, wyp), mask, i_fields, _rep, not_last, d = _shard_prologue(
+        (wx, wy), im1, im2, axis_name=axis_name, n_shards=n_shards, gh=gh,
+        n_inner=n_inner, n_solver=n_solver)
 
     def inner(_, carry):
         du, dv, uu, vv = carry
@@ -200,36 +218,11 @@ def _local_ref_level_de(wx, im1, im2, *, axis_name, n_shards, gh, noc,
     1-D disparity, wy = 0 (the warp has no vertical displacement, but the
     derivative stencils, smoothness coupling and red-black solver still
     reach across rows — the halo machinery is identical to the flow body)."""
-    hl, w = wx.shape
-    d = halo_depth(n_inner, n_solver)
-    if n_shards > 1:
-        assert d <= hl, (
-            f"halo depth {d} exceeds shard height {hl}; use fewer shards")
-        assert hl % 2 == 0, "shard height must be even for red-black parity"
-    wxp = _exchange_flow_halo(wx, d=d, axis_name=axis_name,
-                              n_shards=n_shards)
-    gy0 = jax.lax.axis_index(axis_name) * hl - d
-
-    rows = jnp.clip(gy0 + jnp.arange(hl + 2 * d), 0, gh - 1)
-    im1_loc = jnp.take(im1, rows, axis=1)
+    hl = wx.shape[0]
+    (wxp,), mask, i_fields, _rep, not_last, d = _shard_prologue(
+        (wx,), im1, im2, axis_name=axis_name, n_shards=n_shards, gh=gh,
+        n_inner=n_inner, n_solver=n_solver)
     zeros = jnp.zeros_like(wxp)
-    w_im2, mask = _warp_global(im2, wxp, zeros, gy0, gh)
-
-    grow_v = gy0 + jnp.arange(hl + 2 * d)
-    oob_map = jnp.clip(grow_v, 0, gh - 1) - gy0
-
-    def _rep(x):
-        return jnp.take(x, oob_map, axis=-2)
-
-    tmp = 0.5 * (im1_loc + w_im2)
-    iz = w_im2 - im1_loc
-    ix = tv._d5(tmp, -1)
-    iy = _rep(tv._d5(tmp, -2))
-    i_fields = (ix, iy, iz, tv._d5(ix, -1), tv._d5(ix, -2),
-                tv._d5(iy, -2), tv._d5(iz, -1), tv._d5(iz, -2))
-
-    grow = grow_v[:, None]
-    not_last = ((grow >= 0) & (grow < gh - 1)).astype(jnp.float32)
 
     def inner(_, carry):
         du, uu = carry
