@@ -1323,8 +1323,9 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             return (_tile_inv(p_fin, spec, geom),
                     _tile_inv(pw, spec, geom), jnp.max(it_out))
 
-        # ---- bounded per-tile exact recompute (slots: bad tiles first)
-        slot = jnp.argsort(flat_ok)[:k_max]              # (K,)
+        # ---- bounded per-tile exact recompute (slots: the bad tiles;
+        # pad slots point at tile 0, masked off by slot_bad)
+        slot = jnp.nonzero(~flat_ok, size=k_max, fill_value=0)[0]
         slot_bad = ~flat_ok[slot]
         pair_i = slot // t_tiles
         tile_i = slot % t_tiles
