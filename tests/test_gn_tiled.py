@@ -202,6 +202,24 @@ def test_mxu_warp_budget_routing():
     assert tv._use_mxu_warp(1, 1, 112, 256, True)
 
 
+def test_fast_path_geometry_coverage():
+    """Every production mode x op-point fine level must get a tiled
+    geometry (None would silently run the slow nb-blocked/XLA path — the
+    regression a VMEM-estimate change almost shipped: the RGB windows are
+    within ~1 MB of the cap). INT/DE must get the wide nb=256 tiles."""
+    from of_dis_tpu.params import op_point_params
+    cases = [(3, 1, 2, 256), (3, 3, 2, 128), (3, 1, 1, 256),
+             (4, 1, 2, 256), (4, 3, 2, 128), (4, 1, 1, 256)]
+    for op, noc, nop, want_nb in cases:
+        prm = op_point_params(1024, op, nop=nop, noc=noc)
+        for sl in (1, 2) if op == 3 else (0, 1):
+            spec = make_level_spec(sl, 1024, 448, prm, camlr=0)
+            geom = patch_solver._pick_tile_geom(spec, prm)
+            assert geom is not None, (op, noc, nop, sl)
+            assert geom.nb >= want_nb, (op, noc, nop, sl, geom)
+            assert geom.two_stage, (op, noc, nop, sl, geom)
+
+
 def test_window_validity_smooth_flow_op3_geometry():
     """A smooth, small-magnitude coarser flow must produce valid windows at
     the real op-3 level geometries (valid=False would silently run the slow
