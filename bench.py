@@ -211,10 +211,11 @@ def main():
 
         # RGB op-3 (the fine-level noc=3 path); batch 8 = the measured
         # op-3 sweet spot, 3 iters for a less noisy sample
-        base3, shift3 = _make_pairs(rng, 8, h_org, w_org, noc=3)
+        b3 = min(batch, 8)
+        base3, shift3 = _make_pairs(rng, b3, h_org, w_org, noc=3)
         p3c = op_point_params(w_org, 3, nop=2, noc=3, verbosity=0)
         secondary["rgb_op3_pairs_per_sec"] = _measure(
-            p3c, base3, shift3, 8, 3)
+            p3c, base3, shift3, b3, 3)
 
         # depth op-2 (1-D disparity; left camera clamps >=0 shifts to zero,
         # so use a negative-x disparity field)
