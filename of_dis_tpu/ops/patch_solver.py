@@ -1362,13 +1362,17 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                                              operand=None)
 
         def scat(dst, src):
-            for k in range(k_max):
-                start = (pair_i[k], 0, tile_i[k] * nb)
-                cur = jax.lax.dynamic_slice(dst, start,
-                                            (1, dst.shape[1], nb))
-                val = jnp.where(slot_bad[k], src[k][None], cur)
-                dst = jax.lax.dynamic_update_slice(dst, val, start)
-            return dst
+            # one batched scatter (k_max sequential dynamic-update-slices
+            # on the (B, D, T*nb) buffers measured ~2 ms/batch of chained
+            # copies). Duplicate slots (the nonzero fill) always carry
+            # identical values, so scatter order cannot matter.
+            cur = jax.vmap(lambda pi, ti: jax.lax.dynamic_slice(
+                dst, (pi, 0, ti * nb), (1, dst.shape[1], nb))[0])(
+                pair_i, tile_i)
+            val = jnp.where(slot_bad[:, None, None], src, cur)
+            d4 = dst.reshape(b, dst.shape[1], t_tiles, nb)
+            d4 = d4.at[pair_i, :, tile_i].set(val)
+            return d4.reshape(dst.shape)
 
         p_fin = scat(p_fin, p_fix)
         pw = scat(pw, pw_fix)
