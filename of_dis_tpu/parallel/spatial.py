@@ -310,3 +310,48 @@ def tv_refine_spatial(mesh: Mesh, flow: jnp.ndarray, im1: jnp.ndarray,
     )
     uu, vv = fn(flow[:, :, 0], flow[:, :, 1], im1, im2)
     return jnp.stack([uu, vv], axis=-1)
+
+
+def tv_refine_spatial_batched(mesh: Mesh, flow: jnp.ndarray,
+                              im1: jnp.ndarray, im2: jnp.ndarray, *,
+                              alpha, gamma, delta, n_inner, n_solver,
+                              omega, batch_axis: str = "pairs",
+                              axis_name: str = "rows"):
+    """2-D (pairs x rows) mesh TV refinement: data-parallel over frame
+    pairs on `batch_axis` AND row-sharded within each pair on `axis_name`
+    — the composition of parallel.mesh's batch sharding with the spatial
+    halo-exchange path (both axes ride ICI; the halo ppermutes act only
+    along `axis_name`, vmapped over each device's local pairs).
+
+    flow (B, H, W, 2); im1/im2 (B, C, H, W). B must divide by
+    mesh.shape[batch_axis] and H by mesh.shape[axis_name]."""
+    n_shards = mesh.shape[axis_name]
+    noc = im1.shape[1]
+    gh = im1.shape[2]
+    kw = dict(axis_name=axis_name, n_shards=n_shards, gh=gh, noc=noc,
+              quarter_alpha=0.25 * alpha, hd3=delta * 0.5 / 3.0,
+              hg3=gamma * 0.5 / 3.0, n_inner=n_inner, n_solver=n_solver,
+              omega=omega)
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def local(fl, i1, i2):
+        # fl (B_loc, hL, W, 2); i1/i2 (B_loc, C, H, W)
+        def one(f, a, b2):
+            uu, vv = _local_ref_level_of(f[..., 0], f[..., 1], a, b2, **kw)
+            return jnp.stack([uu, vv], axis=-1)
+
+        return jax.vmap(one)(fl, i1, i2)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(batch_axis, axis_name, None, None),
+                  P(batch_axis, None, None, None),
+                  P(batch_axis, None, None, None)),
+        out_specs=P(batch_axis, axis_name, None, None),
+    )
+    return fn(flow, im1, im2)

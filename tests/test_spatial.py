@@ -54,6 +54,30 @@ def test_spatial_tv_multi_inner():
                                atol=2e-4)
 
 
+def test_spatial_tv_2d_mesh_pairs_x_rows():
+    """The 2-D (pairs x rows) mesh composition: batch data-parallel AND
+    row-sharded TV in one shard_map — every pair must match the unsharded
+    kernel, with >1 pair per device on the batch axis."""
+    devices = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devices).reshape(2, 4), ("pairs", "rows"))
+
+    b, h, w = 4, 128, 64           # 2 pairs/device, 32 rows/shard
+    rng = np.random.default_rng(3)
+    im1 = jnp.asarray(rng.random((b, 1, h, w)), jnp.float32) * 255
+    im2 = jnp.asarray(rng.random((b, 1, h, w)), jnp.float32) * 255
+    flow = jnp.asarray(rng.standard_normal((b, h, w, 2)) * 1.5, jnp.float32)
+    kw = dict(alpha=10.0, gamma=10.0, delta=5.0, n_inner=1, n_solver=3,
+              omega=1.6)
+    got = spatial.tv_refine_spatial_batched(mesh, flow, im1, im2, **kw)
+    for k in range(b):
+        ref_u, ref_v = tv.ref_level_of(flow[k, :, :, 0], flow[k, :, :, 1],
+                                       im1[k], im2[k], **kw)
+        np.testing.assert_allclose(np.asarray(got[k, ..., 0]),
+                                   np.asarray(ref_u), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got[k, ..., 1]),
+                                   np.asarray(ref_v), atol=2e-4)
+
+
 def test_model_level_spatial_tv_dispatch():
     """Size-based dispatch from the model's _tv_refine to the row-sharded
     spatial TV: with a mesh registered and a threshold below the finest
