@@ -202,6 +202,17 @@ def test_mxu_warp_budget_routing():
     assert tv._use_mxu_warp(1, 1, 112, 256, True)
 
 
+def test_mxu_warp_legacy_gb_knob(monkeypatch):
+    """The pre-round-3 OF_DIS_TPU_MXU_WARP_GB knob keeps its original
+    absolute-over-batch semantics when set."""
+    from of_dis_tpu.ops import tv
+    monkeypatch.setenv("OF_DIS_TPU_MXU_WARP_GB", "3")
+    # op-3 L1 at batch 8: 8*(a+z) ~ 2.7 GB < 3 GB -> legacy keeps MXU
+    assert tv._use_mxu_warp(8, 1, 224, 512, False)
+    # but over the absolute budget at batch 16
+    assert not tv._use_mxu_warp(16, 1, 224, 512, False)
+
+
 def test_fast_path_geometry_coverage():
     """Every production mode x op-point fine level must get a tiled
     geometry (None would silently run the slow nb-blocked/XLA path — the

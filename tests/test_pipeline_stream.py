@@ -40,6 +40,36 @@ def test_stream_pipeline(tmp_path):
         assert abs(med[0] - 1.5) < 0.4 and abs(med[1] - 0.5) < 0.4, (t, med)
 
 
+def test_pipeline_default_batch_resolution(tmp_path, monkeypatch):
+    """batch=0 resolves to the measured per-op-point sweet spot (8 for
+    op-3/4, 64 for op-1/2) — asserted by capturing the batch the pipeline
+    actually splits with."""
+    seen = {}
+    orig = pipeline.run_pipeline
+
+    frame_dir = tmp_path / "frames"
+    out_dir = tmp_path / "out"
+    frame_dir.mkdir()
+    rng = np.random.default_rng(2)
+    for t in range(3):
+        img = (rng.random((64, 96)) * 255).astype(np.uint8)
+        cv2.imwrite(str(frame_dir / f"frame_{t:04d}.png"), img)
+
+    import of_dis_tpu.models.dis as dis_mod
+    real = dis_mod.dis_flow_batched
+
+    def spy(a, b, *args, **kw):
+        seen.setdefault("batches", []).append(int(a.shape[0]))
+        return real(a, b, *args, **kw)
+
+    monkeypatch.setattr(dis_mod, "dis_flow_batched", spy)
+    pipeline.run_pipeline(str(frame_dir), str(out_dir), op_point=3,
+                          batch=0, verbose=False)
+    # 2 pairs pad to the resolved batch of 8
+    assert seen["batches"] and all(x == 8 for x in seen["batches"])
+    del orig
+
+
 def test_stream_pipeline_corrupt_frame(tmp_path):
     """A truncated/corrupt frame must fail the run with a clear error, not
     hang the consumer on a dead producer thread (the producer propagates
