@@ -59,7 +59,9 @@ def _remap_np(img, mx, my):
 
 def _warp_pairs(base, u, v):
     """Backward-warp each (C,H,W) frame by (u, v): out(x) = in(x - f(x)),
-    so the estimated flow of (base, out) is ~(u, v)."""
+    so the estimated flow of (base, out) is ~(u, v). Computes and returns
+    float32 regardless of input dtype (callers quantize to u8)."""
+    base = base.astype(np.float32)
     h, w = base.shape[2], base.shape[3]
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     mx, my = xx - u, yy - v
@@ -94,12 +96,19 @@ def _blur(img):
 
 
 def _make_pairs(rng, batch, h, w, noc=1, flow_scale=1.0):
+    """u8 frame pairs (like real video: PNG frames are 8-bit — the sensor
+    quantizes each frame independently, so both the base and the warped
+    frame are rounded to u8 AFTER the subpixel warp). The u8 dtype also
+    exercises the pyramid's exact single-dot bf16 ingestion fast path —
+    the production path for image input."""
     base = rng.random((batch, noc, h, w)).astype(np.float32) * 255.0
     for i in range(batch):
         for c in range(noc):
             base[i, c] = _blur(base[i, c])
     u, v = _flow_field(h, w, flow_scale)
-    return base, _warp_pairs(base, u, v)
+    shift = _warp_pairs(base, u, v)
+    to_u8 = lambda x: np.clip(np.rint(x), 0, 255).astype(np.uint8)
+    return to_u8(base), to_u8(shift)
 
 
 def main():
@@ -221,7 +230,8 @@ def main():
         # so use a negative-x disparity field)
         u, v = _flow_field(h_org, w_org)
         based = base[:64]
-        shiftd = _warp_pairs(based, -np.abs(u), np.zeros_like(v))
+        shiftd = np.clip(np.rint(_warp_pairs(
+            based, -np.abs(u), np.zeros_like(v))), 0, 255).astype(np.uint8)
         pd = op_point_params(w_org, 2, nop=1, noc=1, verbosity=0)
         secondary["de_op2_pairs_per_sec"] = _measure(
             pd, based, shiftd, min(batch, 64), 4)

@@ -115,9 +115,15 @@ def main(argv=None):
     img2 = io.load_image(img2p, channels=noc)
     if "GRD" in mode:
         # gradient-magnitude input (the reference's SELECTCHANNEL==2 path,
-        # run_dense.cpp:139-148 — present in its source but never built)
+        # run_dense.cpp:139-148 — present in its source but never built);
+        # non-integral values: stays f32
         img1 = np.asarray(pyramid.gradient_magnitude(jnp.asarray(img1)))
         img2 = np.asarray(pyramid.gradient_magnitude(jnp.asarray(img2)))
+    else:
+        # loaders emit integer-valued f32 of 8-bit sources: ship u8 (the
+        # pyramid's exact single-dot bf16 ingestion path; bit-identical)
+        img1 = img1.astype(np.uint8)
+        img2 = img2.astype(np.uint8)
     h_org, w_org = img1.shape[1], img1.shape[2]
 
     params = build_params(w_org, nop, noc, rest)

@@ -548,13 +548,14 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                 # multi-hot over the K-stacked term planes: one MXU dot
                 # computes sum_t plane_t@oh. Per-pair values are sliced
                 # rank-2 (1, n) — rank-1 (n,) vectors cost Mosaic an
-                # implicit-dim layout (measured 24% on the tiled kernel)
-                cols = jax.lax.broadcasted_iota(jnp.int32, (wp2, n), 0)
+                # implicit-dim layout (measured 24% on the tiled kernel).
+                # The per-term masks are identical (row r of term t is hot
+                # iff r - t*wp == sx), so build one (wp, n) compare and
+                # stack it instead of nterms compares over (wp2, n)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (wp, n), 0)
                 sxk = sx[k:k + 1]
-                ohm = cols == sxk
-                for term in range(1, nterms):
-                    ohm = ohm | (cols == sxk + term * wp)
-                oh = ohm.astype(jnp.bfloat16)
+                m1 = (cols == sxk).astype(jnp.bfloat16)
+                oh = jnp.concatenate([m1] * nterms, axis=0)
                 t = jnp.dot(lh_ref[k], oh,
                             preferred_element_type=jnp.float32)
                 t = t.reshape(w1 * c, hpb, n)

@@ -58,16 +58,28 @@ def _contract(eq: str, img: jnp.ndarray, m: np.ndarray) -> jnp.ndarray:
     exactly bf16-representable, run as two bf16 MXU dots on a hi/lo split
     of the image (f32 values reconstruct through the f32 accumulator);
     ~8x the f32 matmul rate, which dominates the full-res pyramid
-    contraction."""
+    contraction.
+
+    uint8/bfloat16 images (the native format of the reference's PNG inputs,
+    run_dense.cpp:209-210 — cv::imread yields CV_8U) are bf16-exact, so the
+    `lo` correction dot is skipped entirely: its full-resolution stream was
+    the single largest HBM read of the whole op-2 pipeline, and a u8 input
+    array is 4x smaller in HBM than the f32 it replaces. Bit-identical to
+    the f32 path for integer-valued inputs (the lo dot contributes exact
+    +0.0s there)."""
     if _bf16_exact(m):
         mb = jnp.asarray(m).astype(jnp.bfloat16)
         hi = img.astype(jnp.bfloat16)
+        if img.dtype in (jnp.uint8, jnp.bfloat16):
+            return jnp.einsum(eq, hi, mb,
+                              preferred_element_type=jnp.float32)
         lo = (img - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return (jnp.einsum(eq, hi, mb,
                            preferred_element_type=jnp.float32)
                 + jnp.einsum(eq, lo, mb,
                              preferred_element_type=jnp.float32))
-    return jnp.einsum(eq, img, jnp.asarray(m), precision="highest")
+    return jnp.einsum(eq, img.astype(jnp.float32), jnp.asarray(m),
+                      precision="highest")
 
 
 def _resize_mm(img: jnp.ndarray, out_h: int, out_w: int,
@@ -171,13 +183,16 @@ def build_pyramid(img: jnp.ndarray, lv_f: int, pad: int, getgrad: bool = True,
         # jump straight to the first used level: a chain of x0.5 halvings
         # is the 2^lv_l-tap box mean (identical up to f32 rounding), and
         # the one-shot contraction skips the unused full-res intermediate
-        # levels entirely (the L0->L1 halve alone is ~40% of pyramid time)
+        # levels entirely (the L0->L1 halve alone is ~40% of pyramid time).
+        # A u8/bf16 img feeds the contraction directly (see _contract);
+        # level 0 itself is never consumed here (lv < lv_l -> None).
         levels = [img] + [None] * lv_l
         levels[lv_l] = _resize_mm(img, h // k, w // k, box=k)
         for _ in range(lv_f - lv_l):
             levels.append(halve(levels[-1]))
     else:
-        levels = [img]
+        # level 0 is a consumed pyramid entry: downstream stages expect f32
+        levels = [img.astype(jnp.float32)]
         for _ in range(lv_f):
             levels.append(halve(levels[-1]))
     imgs, dxs, dys = [], [], []

@@ -95,3 +95,46 @@ def test_resize_linear_matches_cv_upscale():
     ref = cv2.resize(img[0], (96, 64), interpolation=cv2.INTER_LINEAR)
     # power-of-two upscale weights are bf16-exact -> hi/lo bf16 MXU path
     np.testing.assert_allclose(ours, ref, rtol=0, atol=5e-3)
+
+
+def test_u8_input_bit_exact_vs_f32():
+    """u8 images take the single-dot bf16 ingestion path (no `lo` term);
+    must be bit-identical to the f32 path on the same integer values —
+    both for the coarse box-jump (lv_l>0) and the halve-chain (lv_l=0)."""
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (1, 64, 128), dtype=np.uint8)
+    f32 = u8.astype(np.float32)
+    for lv_l in (0, 2):
+        out_u8 = pyramid.build_pyramid(jnp.asarray(u8), lv_f=3, pad=4,
+                                       lv_l=lv_l)
+        out_f32 = pyramid.build_pyramid(jnp.asarray(f32), lv_f=3, pad=4,
+                                        lv_l=lv_l)
+        for field_u8, field_f32 in zip(out_u8, out_f32):
+            for a, b in zip(field_u8, field_f32):
+                if a is None:
+                    assert b is None
+                    continue
+                assert a.dtype == jnp.float32
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_u8_end_to_end_bit_exact():
+    """Full dis_flow on u8 inputs == on f32 of the same values."""
+    from of_dis_tpu.models import dis
+    from of_dis_tpu.params import op_point_params
+
+    rng = np.random.default_rng(8)
+    h, w = 64, 128
+    base = rng.integers(0, 256, (1, h, w), dtype=np.uint8)
+    shift = np.roll(base, (2, 1), axis=(1, 2))
+    params = op_point_params(w, 2, nop=2, noc=1, verbosity=0)
+    a8 = pyramid.pad_to_divisible(jnp.asarray(base), params.sc_f)
+    b8 = pyramid.pad_to_divisible(jnp.asarray(shift), params.sc_f)
+    af = pyramid.pad_to_divisible(jnp.asarray(base.astype(np.float32)),
+                                  params.sc_f)
+    bf = pyramid.pad_to_divisible(jnp.asarray(shift.astype(np.float32)),
+                                  params.sc_f)
+    fw, fh = int(a8.shape[2]), int(a8.shape[1])
+    out8 = dis.dis_flow(a8, b8, params, fw, fh)
+    outf = dis.dis_flow(af, bf, params, fw, fh)
+    np.testing.assert_array_equal(np.asarray(out8), np.asarray(outf))
