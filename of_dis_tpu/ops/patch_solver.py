@@ -616,18 +616,31 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                 patch = patch - patch.mean(axis=1, keepdims=True)
             pdiff, pweight = loss_error_image(patch - tmpl, params.costfct)
             mares = jnp.sum(pweight, axis=1) / novals
-            return pdiff, pweight, mares, ((av, sxy) if use_cache else None)
+            # carry the (nop, n) steepest-descent projection instead of the
+            # (D, n) pdiff it contracts from: the per-lane active mask
+            # commutes with the within-lane contraction (bit-exact), saving
+            # a (D, n) masked select per iteration + D*n*4 carry bytes
+            return rhs_of(pdiff), pweight, mares, ((av, sxy) if use_cache
+                                                   else None)
+
+        def rhs_of(pd):
+            r0 = jnp.sum(tdx * pd, axis=1)
+            if nop == 2:
+                return jnp.stack([r0, jnp.sum(tdy * pd, axis=1)], axis=1)
+            return r0[:, None, :]
 
         pt0 = to_pt(p_init)
         init_oob = oob(pt0)
         pt0_safe = jnp.where(init_oob[:, None, :],
                              jnp.broadcast_to(ptr, pt0.shape), pt0)
         all_on = jnp.ones((bb, n), jnp.bool_)
-        pdiff0, pweight0, mares0, cache0 = compute_err(pt0_safe, all_on,
-                                                       None)
+        rhs0, pweight0, mares0, cache0 = compute_err(pt0_safe, all_on,
+                                                     None)
         _, tmpl_pw = loss_error_image(tmpl, params.costfct)
         m0 = init_oob[:, None, :]
-        pdiff0 = jnp.where(m0, tmpl, pdiff0)
+        # init-OOB patches take the raw template as their pdiff
+        # (documented deviation, matching the XLA path)
+        rhs0 = jnp.where(m0, rhs_of(tmpl), rhs0)
         pweight0 = jnp.where(m0, tmpl_pw, pweight0)
         active0 = ((~init_oob) & (params.max_iter > 0)
                    & (mares0 > params.res_thresh))
@@ -636,10 +649,10 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
             # `active` rides the carry as a 0/1 f32 mask: Mosaic cannot
             # legalize i1 vectors in scf.for operands
             if use_cache:
-                (p, pdiff, pweight, active_f, mares, dpn_init, itcnt,
+                (p, rhs, pweight, active_f, mares, dpn_init, itcnt,
                  cache) = carry
             else:
-                (p, pdiff, pweight, active_f, mares, dpn_init,
+                (p, rhs, pweight, active_f, mares, dpn_init,
                  itcnt) = carry
                 cache = None
             active = active_f > 0.5
@@ -647,12 +660,6 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
             # while-loop's trip count (diagnostic)
             itcnt = itcnt + jnp.max(active_f)
             it1 = i + 1
-            rhs0 = jnp.sum(tdx * pdiff, axis=1)
-            if nop == 2:
-                rhs1 = jnp.sum(tdy * pdiff, axis=1)
-                rhs = jnp.stack([rhs0, rhs1], axis=1)
-            else:
-                rhs = rhs0[:, None, :]
             dp = _solve_step(hes, rhs, nop)
             p_new = p - dp
             if nop == 1:
@@ -665,7 +672,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
             reset = (moved > params.outlierthresh) | oob(pt_new)
             p_new = jnp.where(reset[:, None, :], p_init, p_new)
             pt_new = to_pt(p_new)
-            pdiff_new, pweight_new, mares_new, cache_new = compute_err(
+            rhs_new, pweight_new, mares_new, cache_new = compute_err(
                 pt_new, active, cache)
             dp_sqnorm = jnp.sum(dp * dp, axis=1)
             dpn_init_new = jnp.where(it1 == 1, dp_sqnorm, dpn_init)
@@ -683,13 +690,13 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                 return jnp.where(active[:, None, :], new, old)
 
             tail = (cache_new,) if use_cache else ()
-            return (sel(p_new, p), sel(pdiff_new, pdiff),
+            return (sel(p_new, p), sel(rhs_new, rhs),
                     sel(pweight_new, pweight),
                     (active & active_new).astype(jnp.float32),
                     sel(mares_new, mares),
                     sel(dpn_init_new, dpn_init), itcnt) + tail
 
-        carry0 = (p_init, pdiff0, pweight0, active0.astype(jnp.float32),
+        carry0 = (p_init, rhs0, pweight0, active0.astype(jnp.float32),
                   mares0,
                   jnp.full((bb, n), 1e-10, jnp.float32),
                   jnp.float32(0.0)) + ((cache0,) if use_cache else ())
@@ -1128,33 +1135,36 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 patch = patch - patch.mean(axis=0, keepdims=True)
             pdiff, pweight = loss_error_image(patch - tmpl, params.costfct)
             mares = jnp.sum(pweight, axis=0, keepdims=True)  # (1, nb)
-            return pdiff, pweight, mares / novals, (a, sxy)
+            # carry the (nop, nb) projection, not the (D, nb) pdiff (see
+            # the fused kernel: bit-exact, smaller carry, one less big sel)
+            return rhs_of(pdiff), pweight, mares / novals, (a, sxy)
+
+        def rhs_of(pd):
+            r0 = jnp.sum(tdx * pd, axis=0, keepdims=True)
+            if nop == 2:
+                return jnp.concatenate(
+                    [r0, jnp.sum(tdy * pd, axis=0, keepdims=True)], axis=0)
+            return r0
 
         pt0 = to_pt(p_init)
         init_oob = oob(pt0)                              # (1, nb)
         pt0_safe = jnp.where(init_oob,
                              jnp.broadcast_to(ptr, pt0.shape), pt0)
         all_on = jnp.ones((1, nb), jnp.bool_)
-        pdiff0, pweight0, mares0, cache0 = compute_err(pt0_safe, all_on,
-                                                       None)
+        rhs0, pweight0, mares0, cache0 = compute_err(pt0_safe, all_on,
+                                                     None)
         _, tmpl_pw = loss_error_image(tmpl, params.costfct)
-        pdiff0 = jnp.where(init_oob, tmpl, pdiff0)
+        rhs0 = jnp.where(init_oob, rhs_of(tmpl), rhs0)
         pweight0 = jnp.where(init_oob, tmpl_pw, pweight0)
         active0 = ((~init_oob) & (params.max_iter > 0)
                    & (mares0 > params.res_thresh))
 
         def body(i, carry):
-            (p, pdiff, pweight, active_f, mares, dpn_init, itcnt,
+            (p, rhs, pweight, active_f, mares, dpn_init, itcnt,
              cache) = carry
             active = active_f > 0.5                      # (1, nb)
             itcnt = itcnt + jnp.max(active_f)
             it1 = i + 1
-            rhs0 = jnp.sum(tdx * pdiff, axis=0, keepdims=True)
-            if nop == 2:
-                rhs1 = jnp.sum(tdy * pdiff, axis=0, keepdims=True)
-                rhs = jnp.concatenate([rhs0, rhs1], axis=0)
-            else:
-                rhs = rhs0
             dp = _solve_step(hes, rhs[None], nop)[0]
             p_new = p - dp
             if nop == 1:
@@ -1168,7 +1178,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             reset = (moved > params.outlierthresh) | oob(pt_new)
             p_new = jnp.where(reset, p_init, p_new)
             pt_new = to_pt(p_new)
-            pdiff_new, pweight_new, mares_new, cache_new = compute_err(
+            rhs_new, pweight_new, mares_new, cache_new = compute_err(
                 pt_new, active, cache)
             dp_sqnorm = jnp.sum(dp * dp, axis=0, keepdims=True)
             dpn_init_new = jnp.where(it1 == 1, dp_sqnorm, dpn_init)
@@ -1183,13 +1193,13 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             def sel(new, old):
                 return jnp.where(active, new, old)
 
-            return (sel(p_new, p), sel(pdiff_new, pdiff),
+            return (sel(p_new, p), sel(rhs_new, rhs),
                     sel(pweight_new, pweight),
                     (active & active_new).astype(jnp.float32),
                     sel(mares_new, mares), sel(dpn_init_new, dpn_init),
                     itcnt, cache_new)
 
-        carry0 = (p_init, pdiff0, pweight0, active0.astype(jnp.float32),
+        carry0 = (p_init, rhs0, pweight0, active0.astype(jnp.float32),
                   mares0, jnp.full((1, nb), 1e-10, jnp.float32),
                   jnp.float32(0.0), cache0)
         out = jax.lax.fori_loop(0, params.max_iter, body, carry0)
@@ -1297,7 +1307,16 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
     per-patch GN is independent, so recomputing just those patches matches
     the full fallback bit-for-bit. Only when more than k_max tiles are
     invalid does the whole level fall back. Returns (p, pweight, iters) as
-    (B, nop, N), (B, D, N), () in column-major patch order."""
+    (B, nop, N), (B, D, N), () in column-major patch order.
+
+    NOTE (measured dead end, r3): returning tiled order and letting densify
+    contract against padded cover matrices is bit-exact but ~7x SLOWER —
+    the (py,px,gx,gy,lx,ly)->(py,gy,ly,px,gx,lx) relayout it needs lowers
+    to exotic-layout 7-D copies (~15 ms/batch-8 at op-3 L1 vs ~2.5 ms for
+    the two separate 4-D transposes here + in densify). The tile interleave
+    transpose is unavoidable (a separable selection-matrix extraction can
+    produce only x-major x y-major lane orders) and XLA handles the 4-D
+    forms near-optimally; keep them."""
     psz, noc = params.p_samp_s, params.noc
     b = im_b.shape[0]
     nb = geom.nb

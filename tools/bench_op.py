@@ -49,13 +49,15 @@ def main():
                & (xx > w_org // 3) & (xx < 2 * w_org // 3))
         u = (u + obj * 25.0).astype(np.float32)
         v = (v + obj * 12.0).astype(np.float32)
-        shift = _bench._warp_pairs(base, u, v)
+        shift = np.clip(np.rint(_bench._warp_pairs(base, u, v)),
+                        0, 255).astype(np.uint8)
     elif nop == 2:
         base, shift = _bench._make_pairs(rng, b, h_org, w_org, noc=noc)
     else:
         base, _ = _bench._make_pairs(rng, b, h_org, w_org, noc=noc)
         u, v = _bench._flow_field(h_org, w_org)
-        shift = _bench._warp_pairs(base, -np.abs(u), np.zeros_like(v))
+        shift = np.clip(np.rint(_bench._warp_pairs(
+            base, -np.abs(u), np.zeros_like(v))), 0, 255).astype(np.uint8)
     pad = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))
     im_a = pad(jnp.asarray(base))
     im_b = pad(jnp.asarray(shift))
