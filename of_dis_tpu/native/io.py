@@ -38,9 +38,22 @@ def decode_image(path: str, channels: int) -> np.ndarray:
         channels, h, w).copy()
 
 
-def decode_batch(paths, channels: int, nthreads: int = 8) -> np.ndarray:
-    """Threaded batch decode -> float32 (B, C, H, W)."""
-    w, h, payload = _n.decode_batch(list(paths), channels, nthreads)
-    b = len(paths)
-    return np.frombuffer(payload, dtype=np.float32).reshape(
-        b, channels, h, w).copy()
+def decode_batch(paths, channels: int, nthreads: int = 8,
+                 dtype=np.float32) -> np.ndarray:
+    """Threaded batch decode -> (B, C, H, W).
+
+    dtype=np.uint8 decodes straight to the device-transfer format (4x
+    smaller, bit-exact for the 8-bit sources this decoder handles); the
+    default float32 matches the classic loaders."""
+    want_u8 = np.dtype(dtype) == np.uint8
+    try:
+        w, h, payload = _n.decode_batch(list(paths), channels, nthreads,
+                                        want_u8)
+        got_u8 = want_u8
+    except TypeError:   # pre-u8 extension build: f32 only
+        w, h, payload = _n.decode_batch(list(paths), channels, nthreads)
+        got_u8 = False
+    arr = np.frombuffer(
+        payload, dtype=np.uint8 if got_u8 else np.float32).reshape(
+        len(paths), channels, h, w)
+    return arr.astype(np.uint8) if want_u8 and not got_u8 else arr.copy()

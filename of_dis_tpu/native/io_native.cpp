@@ -180,12 +180,15 @@ static bool decode_pnm(const std::vector<uint8_t>& file, Image* im) {
   return true;
 }
 
-// Convert a decoded image to float32 (C,H,W) in `out` with C=want_channels.
+// Convert a decoded image to (C,H,W) in `out` with C=want_channels;
+// T = float (classic) or uint8_t (the device-transfer format — gray values
+// are u8-exact, so this skips the 4x f32 blow-up entirely).
 // Gray conversion uses OpenCV's fixed-point BGR2GRAY weights so results are
 // bit-identical to the cv::imread(GRAYSCALE) path the reference uses
 // (run_dense.cpp:200-210). PNG pixel order is RGB(A); output color order is
 // BGR for parity with cv::imread(COLOR).
-static void to_float_chw(const Image& im, int want_channels, float* out) {
+template <typename T>
+static void to_chw(const Image& im, int want_channels, T* out) {
   const int w = im.width, h = im.height, nch = im.channels;
   const size_t plane = static_cast<size_t>(w) * h;
   for (int y = 0; y < h; ++y) {
@@ -205,14 +208,18 @@ static void to_float_chw(const Image& im, int want_channels, float* out) {
         // cv::cvtColor BGR2GRAY fixed point: (R*4899 + G*9617 + B*1868 +
         // 8192) >> 14
         int yv = (r * 4899 + g * 9617 + b * 1868 + 8192) >> 14;
-        out[i] = static_cast<float>(yv);
+        out[i] = static_cast<T>(yv);
       } else {
-        out[0 * plane + i] = static_cast<float>(b);
-        out[1 * plane + i] = static_cast<float>(g);
-        out[2 * plane + i] = static_cast<float>(r);
+        out[0 * plane + i] = static_cast<T>(b);
+        out[1 * plane + i] = static_cast<T>(g);
+        out[2 * plane + i] = static_cast<T>(r);
       }
     }
   }
+}
+
+static void to_float_chw(const Image& im, int want_channels, float* out) {
+  to_chw<float>(im, want_channels, out);
 }
 
 static bool decode_any(const char* path, Image* im) {
@@ -324,12 +331,14 @@ static PyObject* py_decode_image(PyObject*, PyObject* args) {
   return Py_BuildValue("(iiN)", im.width, im.height, payload);
 }
 
-// decode_batch(paths, channels, nthreads) -> (w, h, bytes) where bytes is
-// (B, C, H, W) float32. All images must share one size.
+// decode_batch(paths, channels, nthreads[, as_u8]) -> (w, h, bytes) where
+// bytes is (B, C, H, W) float32, or uint8 when as_u8 is true (the device
+// transfer format: 4x smaller, bit-exact for 8-bit sources). All images
+// must share one size.
 static PyObject* py_decode_batch(PyObject*, PyObject* args) {
   PyObject* list;
-  int channels, nthreads;
-  if (!PyArg_ParseTuple(args, "Oii", &list, &channels, &nthreads))
+  int channels, nthreads, as_u8 = 0;
+  if (!PyArg_ParseTuple(args, "Oii|p", &list, &channels, &nthreads, &as_u8))
     return nullptr;
   std::vector<std::string> paths;
   PyObject* seq = PySequence_Fast(list, "paths must be a sequence");
@@ -385,10 +394,11 @@ static PyObject* py_decode_batch(PyObject*, PyObject* args) {
     }
   }
   const size_t per = static_cast<size_t>(channels) * w * h;
+  const size_t esz = as_u8 ? 1 : 4;
   PyObject* payload = PyBytes_FromStringAndSize(
-      nullptr, static_cast<Py_ssize_t>(per * images.size() * 4));
+      nullptr, static_cast<Py_ssize_t>(per * images.size() * esz));
   if (!payload) return nullptr;
-  float* out = reinterpret_cast<float*>(PyBytes_AsString(payload));
+  char* out = PyBytes_AsString(payload);
   {
     Py_BEGIN_ALLOW_THREADS;
     std::vector<std::thread> pool;
@@ -399,7 +409,13 @@ static PyObject* py_decode_batch(PyObject*, PyObject* args) {
         for (;;) {
           size_t i = next.fetch_add(1);
           if (i >= images.size()) return;
-          to_float_chw(images[i], channels, out + per * i);
+          if (as_u8) {
+            to_chw<uint8_t>(images[i], channels,
+                            reinterpret_cast<uint8_t*>(out) + per * i);
+          } else {
+            to_chw<float>(images[i], channels,
+                          reinterpret_cast<float*>(out) + per * i);
+          }
         }
       });
     }
@@ -419,7 +435,8 @@ static PyMethodDef methods[] = {
     {"decode_image", py_decode_image, METH_VARARGS,
      "decode_image(path, channels) -> (w, h, float32_chw_bytes)"},
     {"decode_batch", py_decode_batch, METH_VARARGS,
-     "decode_batch(paths, channels, nthreads) -> (w, h, float32_bchw_bytes)"},
+     "decode_batch(paths, channels, nthreads[, as_u8]) -> (w, h, "
+     "bchw_bytes: float32, or uint8 when as_u8)"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef module = {PyModuleDef_HEAD_INIT, "_native_io",

@@ -402,23 +402,25 @@ def _vmem_cap(default_bytes: int) -> int:
     return int(default_bytes * scale)
 
 
-def _shifted_planes_banded(im: jnp.ndarray, psz: int, hpb: int):
-    """Column-shifted bf16 hi/lo planes for the fused GN kernel.
+def _banded_planes_raw(im: jnp.ndarray, hpb: int):
+    """Raw (un-shifted) bf16 term planes for the fused GN kernel.
 
-    Rows are zero-padded to hpb (see _gn_hpb) so that every 8-row band index
-    bi = sy // 8 has a full band window [8*bi, 8*bi + WB) inside the plane
-    (the padding rows are never selected: window rows are bounds-checked
-    against the real image extent)."""
+    Rows are zero-padded to hpb (see _gn_windows) so that every 8-row band
+    index bi = sy // 8 has a full band window [8*bi, 8*bi + WB) inside the
+    plane (the padding rows are never selected: window rows are
+    bounds-checked against the real image extent). Returns (C*Hpb, nt*Wp):
+    term planes stacked along the contraction axis — with the one-hot
+    duplicated to (nterms*Wp, N), sum_t plane_t@oh becomes ONE MXU dot.
+
+    The (psz+1) column-shifted copies the extraction dot needs are built
+    INSIDE the kernel from this raw plane (like the tiled kernel's window
+    DMA): materializing them here cost w1 x the HBM lhs traffic plus the
+    f32 shifted intermediate (~2 ms of plane-prep fusions per 384-pair
+    op-2 batch). Shifting commutes with the per-element bf16 term split,
+    so the in-VMEM copies are bit-identical to the old precomputed form."""
     c, hp, wp = im.shape
-    w1 = psz + 1
-    imp = jnp.pad(im, ((0, 0), (0, hpb - hp), (0, 0)))
-    cat = jnp.concatenate(
-        [jnp.pad(imp[:, :, s:], ((0, 0), (0, 0), (0, s))).reshape(
-            c * hpb, wp) for s in range(w1)], axis=0)  # (W1*C*Hpb, Wp)
-    # term planes stacked along the contraction axis: with the one-hot
-    # duplicated to (nterms*Wp, N), sum_t plane_t@oh becomes ONE MXU dot
-    # with K=nterms*Wp — fewer 128-deep K-passes than separate dots
-    return jnp.concatenate(_split_bf16(cat), axis=1)  # (W1*C*Hpb, nt*Wp)
+    imp = jnp.pad(im, ((0, 0), (0, hpb - hp), (0, 0))).reshape(c * hpb, wp)
+    return jnp.concatenate(_split_bf16(imp), axis=1)   # (C*Hpb, nt*Wp)
 
 
 def _gn_windows(psz: int, hp: int):
@@ -438,7 +440,8 @@ def _pick_gn_bb(b: int, w1: int, c: int, hpb: int, wp: int, d: int, n: int,
     only count when the kernel will actually carry them (long loops)."""
     wb = _round_up(w1 - 1 + 8, 8)
     nt = _extract_terms()
-    per = (nt * w1 * c * hpb * wp * 2     # lhs term blocks (bf16)
+    per = (nt * w1 * c * hpb * wp * 2    # in-VMEM shifted-plane scratch
+           + 2 * nt * c * hpb * wp * 2   # raw plane block (double-buffered)
            + 2 * w1 * c * hpb * n * 4    # t + shifted copies (transient)
            + (w1 * c * wb * n * 4 if use_cache else 0)  # cached rows (carry)
            + 7 * d * n * 4)              # tmpl/tdx/tdy + carry + outputs
@@ -459,7 +462,9 @@ def _pick_gn_nb(w1: int, c: int, hpb: int, wp: int, d: int, n: int,
     ignores the patch-block grid axis) so it is not double-buffered
     (op-3 L1, estimated 11.4MB at nb=128, compiles and runs)."""
     cap = _vmem_cap(12 * 1024 * 1024 + 512 * 1024)
-    planes = _extract_terms() * w1 * c * hpb * wp * 2
+    # shifted-plane scratch + the raw plane block it is built from
+    planes = (_extract_terms() * w1 * c * hpb * wp * 2
+              + _extract_terms() * c * hpb * wp * 2)
     wb = _round_up(w1 - 1 + 8, 8)
     if planes >= cap:
         return None
@@ -495,8 +500,11 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
         bounds/outlier resets, convergence predicate of patch.cpp:287-293)
         runs on (bb, D, N) blocks.
 
-    lhs: (B, w1*c*hpb, 2*wp) bf16 banded hi|lo planes; tpl fields
-    (B, D, N); p_init_t (B, nop, N); pt_ref_t (1, 2, N).
+    lhs: (B, c*hpb, nt*wp) RAW bf16 banded term planes (_banded_planes_raw);
+    the w1 column-shifted copies the extraction dot contracts against are
+    built once per program into a VMEM scratch (bit-identical to the old
+    HBM-precomputed form; 1/w1 the lhs HBM traffic). tpl fields (B, D, N);
+    p_init_t (B, nop, N); pt_ref_t (1, 2, N).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -504,7 +512,8 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
     psz, pad, nop, c = params.p_samp_s, spec.pad, params.nop, params.noc
     w1 = psz + 1
     wb, _, nbands = _gn_windows(psz, spec.padded_height)
-    b, m_rows, wp2 = lhs.shape
+    b, chpb, wp2 = lhs.shape
+    m_rows = w1 * chpb
     nterms = wp2 // spec.padded_width      # 2, or 3 in exact-extract mode
     wp = wp2 // nterms
     d = tpl.tmpl.shape[1]
@@ -519,7 +528,31 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
     use_cache = _use_extract_cache() and params.max_iter >= 32
 
     def kernel(lh_ref, tm_ref, tx_ref, ty_ref, he_ref, p0_ref,
-               pr_ref, po_ref, pw_ref, it_ref):
+               pr_ref, po_ref, pw_ref, it_ref, sc_ref):
+        # build the w1 column-shifted plane copies in VMEM from the raw
+        # block: row-block s of sc holds plane[:, x+s] (zeros past the
+        # right edge of each wp-wide term block — never selected, patch
+        # anchors are bounds-checked). On the N-blocked path the raw block
+        # is constant across the patch-block grid, so build once.
+        def build_shifts():
+            for k in range(lh_ref.shape[0]):
+                for t in range(nterms):
+                    for s in range(w1):
+                        blk = lh_ref[k, :, t * wp + s:(t + 1) * wp]
+                        if s:
+                            blk = jnp.concatenate(
+                                [blk, jnp.zeros((chpb, s), jnp.bfloat16)],
+                                axis=1)
+                        sc_ref[k, s * chpb:(s + 1) * chpb,
+                               t * wp:(t + 1) * wp] = blk
+
+        if nb:
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                build_shifts()
+        else:
+            build_shifts()
+
         tmpl = tm_ref[:]
         tdx = tx_ref[:]
         tdy = ty_ref[:]
@@ -556,7 +589,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                 sxk = sx[k:k + 1]
                 m1 = (cols == sxk).astype(jnp.bfloat16)
                 oh = jnp.concatenate([m1] * nterms, axis=0)
-                t = jnp.dot(lh_ref[k], oh,
+                t = jnp.dot(sc_ref[k], oh,
                             preferred_element_type=jnp.float32)
                 t = t.reshape(w1 * c, hpb, n)
                 syk = sy[k:k + 1]                        # (1, n)
@@ -715,7 +748,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
         # and stays single-buffered — a (batch, patch) grid would
         # double-buffer it at the batch transition and bust the VMEM stack
         # (measured 19.6M vs the 16M limit at op-3 L1)
-        blk_lhs = pl.BlockSpec((1, m_rows, wp2), lambda j: (0, 0, 0),
+        blk_lhs = pl.BlockSpec((1, chpb, wp2), lambda j: (0, 0, 0),
                                memory_space=pltpu.VMEM)
         blk_d = pl.BlockSpec((1, d, n), lambda j: (0, 0, j),
                              memory_space=pltpu.VMEM)
@@ -741,6 +774,8 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                 in_specs=[blk_lhs, blk_d, blk_d, blk_d, blk_h, blk_p,
                           blk_ptr],
                 out_specs=(blk_p, blk_d, blk_it),
+                scratch_shapes=[pltpu.VMEM((1, m_rows, wp2),
+                                           jnp.bfloat16)],
             )(l1[None], tm1[None], tx1[None], ty1[None], he1[None],
               p01[None], pt_ref_t)
 
@@ -749,7 +784,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
         return p_out[:, 0], pw_out[:, 0], jnp.max(it_out)
 
     # single-block path: grid over batch blocks only
-    blk_lhs = pl.BlockSpec((bb, m_rows, wp2), lambda i: (i, 0, 0),
+    blk_lhs = pl.BlockSpec((bb, chpb, wp2), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     blk_d = pl.BlockSpec((bb, d, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -770,6 +805,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
         in_specs=[blk_lhs, blk_d, blk_d, blk_d, blk_h, blk_p,
                   blk_ptr],
         out_specs=(blk_p, blk_d, blk_it),
+        scratch_shapes=[pltpu.VMEM((bb, m_rows, wp2), jnp.bfloat16)],
     )(lhs, tpl.tmpl, tpl.tdx, tpl.tdy, tpl.hes, p_init_t,
       pt_ref_t)
     return p_out, pw_out, jnp.max(it_out)
@@ -1488,8 +1524,7 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
                                        pad3(tpl.tdy), hes_pad)
                 p_init_k = pad3(p_init_t)
                 pt_ref_k = pad3(pt_ref_t, v=-1e6)
-            lhs = jax.vmap(
-                lambda x: _shifted_planes_banded(x, psz, hpb))(im_b)
+            lhs = jax.vmap(lambda x: _banded_planes_raw(x, hpb))(im_b)
             p_fin, pw, iters = _gn_fused_pallas(spec, params, lhs, tpl_k,
                                                 p_init_k, pt_ref_k, bb,
                                                 hpb, nb)

@@ -27,13 +27,18 @@ import numpy as np
 
 
 def _decode_batch(paths: Sequence[str], channels: int) -> np.ndarray:
-    """(B, C, H, W) float32 via the native threaded decoder, else cv2/PIL."""
+    """(B, C, H, W) uint8 via the native threaded decoder, else cv2/PIL.
+
+    u8 is the device-transfer format (see host_decode); the native decoder
+    emits it directly, the Python fallbacks decode f32 of 8-bit sources and
+    cast (lossless)."""
     try:
         from of_dis_tpu.native import io as native_io
-        return native_io.decode_batch(paths, channels)
+        return native_io.decode_batch(paths, channels, dtype=np.uint8)
     except Exception:
         from of_dis_tpu.utils import io as uio
-        return np.stack([uio.load_image(p, channels) for p in paths])
+        return np.stack([uio.load_image(p, channels) for p in paths]
+                        ).astype(np.uint8)
 
 
 class _ProducerError:
@@ -87,14 +92,14 @@ def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
     pad_fn = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))
 
     def host_decode(pair_batch):
-        # decoders emit integer-valued f32 of 8-bit sources (the gray
-        # conversion is fixed-point, io_native.cpp::to_float_chw); ship u8
-        # to the device: 4x less transfer, and the pyramid's u8 ingestion
-        # path is bit-identical to f32 while skipping the `lo` bf16
-        # correction dot (its full-res stream dominated op-2 HBM traffic)
+        # ship u8 to the device: 4x less transfer, and the pyramid's u8
+        # ingestion path is bit-identical to f32 while skipping the `lo`
+        # bf16 correction dot (its full-res stream dominated op-2 HBM
+        # traffic). 8-bit sources make the u8 cast lossless (the gray
+        # conversion is fixed-point, io_native.cpp::to_chw)
         a = _decode_batch([p[0] for p in pair_batch], noc)
         b = _decode_batch([p[1] for p in pair_batch], noc)
-        return a.astype(np.uint8), b.astype(np.uint8)
+        return a, b
 
     # prefetch thread: decode batch k+1 while the device runs batch k
     q: Queue = Queue(maxsize=2)

@@ -92,3 +92,20 @@ def test_pnm_decode(tmp_path):
     cv2.imwrite(p, img)
     ours = nio.decode_image(p, 1)
     np.testing.assert_array_equal(ours[0], img.astype(np.float32))
+
+
+def test_decode_batch_u8_matches_f32(tmp_path):
+    """dtype=np.uint8 decode must equal the f32 decode cast to u8 (both
+    gray fixed-point and BGR color), at 1/4 the bytes."""
+    native_io = pytest.importorskip("of_dis_tpu.native.io")
+    rng = np.random.default_rng(5)
+    p1 = _write_png(tmp_path, rng.integers(0, 256, (20, 24), np.uint8),
+                    "u1.png")
+    p3 = _write_png(tmp_path, rng.integers(0, 256, (20, 24, 3), np.uint8),
+                    "u3.png")
+    for paths, channels in (([p1, p1], 1), ([p3, p3], 3), ([p3], 1)):
+        f = native_io.decode_batch(paths, channels)
+        u = native_io.decode_batch(paths, channels, dtype=np.uint8)
+        assert u.dtype == np.uint8 and u.shape == f.shape
+        np.testing.assert_array_equal(u, f.astype(np.uint8))
+        assert (f == f.astype(np.uint8)).all()   # sources are 8-bit exact
