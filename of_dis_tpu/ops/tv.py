@@ -211,6 +211,149 @@ _BANDED_WARP_R = 16   # displacement band: valid when |floor(w)| <= R
 _BANDED_WARP_R_SMALL = 4   # tight first-try band (see warp_image_batched)
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_warp_bb(b: int, c: int, h: int, w: int, r: int,
+                  horiz_only: bool):
+    """Batch block + weight-precompute mode for the fused banded-warp
+    kernel (warp_image_banded_pallas), or None when even one pair's
+    working set busts the VMEM budget (then the caller keeps the XLA
+    banded / MXU routing). Returns (bb, inline_weights)."""
+    import os
+    if os.environ.get("OF_DIS_TPU_NO_WARP_KERNEL"):
+        return None
+    nsh = 2 * r + 2
+    h8 = _round_up(h, 8)
+    w128 = _round_up(w, 128)
+    # below ~6K padded px/pair the MXU one-hot warp is at parity or faster
+    # (measured op-2 L4 (28,64): MXU fusion 0.54ms vs kernel+cond 0.62ms
+    # per 384-pair batch; L3 (56,128): 2.03ms vs 0.87ms) — keep small
+    # levels on the MXU route
+    if h8 * w128 < int(os.environ.get("OF_DIS_TPU_WARP_KERNEL_MIN_PX",
+                                      "6144")):
+        return None
+    hp8 = h8 if horiz_only else _round_up(h + nsh, 8)
+    wpr = _round_up(w + nsh, 128)
+    unit = h8 * w128 * 4
+    a = c * hp8 * wpr * 4
+    from of_dis_tpu.ops.patch_solver import _vmem_cap
+    # Mosaic's stack peak measured ~2.5x this estimate (the unrolled
+    # roll/crop temporaries of the j loop all stay live); the 6MB cap on
+    # the ESTIMATE keeps the real peak under the 16MB VMEM stack
+    # (measured: op-2 finest level 3.26MB/pair real, bb=4 -> 13M, fits)
+    cap = _vmem_cap(6 * 1024 * 1024)
+    for inline in (False, True):
+        per = nsh * (a + 2 * unit) + (0 if inline else nsh * unit)
+        for cand in (8, 4, 2, 1):
+            if b % cand == 0 and cand * per < cap:
+                return cand, inline
+    return None
+
+
+def warp_image_banded_pallas(src: jnp.ndarray, wx: jnp.ndarray,
+                             wy: jnp.ndarray, r: int, bb: int,
+                             horiz_only: bool = False,
+                             inline_weights: bool = False):
+    """warp_image_banded as ONE fused Pallas kernel (plus the in-bounds
+    mask): the (2r+2)^2 shifted-slab passes run entirely in VMEM.
+
+    The XLA form of the banded warp materializes every weighted pass
+    through HBM-visible fusions — at op-2 level sizes XLA routes to the
+    MXU one-hot warp instead, whose inline-A einsum fusions cost ~2.7 ms
+    of a 28 ms 384-pair batch (device profile, round 3). In-kernel the
+    same math is pure VPU: shifts are pltpu.roll on the padded block
+    (wrapped-in lanes/rows land outside the [h, w) crop, never read),
+    weights are the same two-corner compare selects, and the
+    accumulation order (k outer, j inner, ascending) matches
+    warp_image_banded bit for bit. Replicate-padded borders reproduce
+    the reference's clamped-index sampling (opticalflow_aux.c:43-54)
+    for in-band displacements, exactly like the XLA banded form.
+
+    src (B,C,H,W) f32; wx/wy (B,H,W). Returns (out (B,C,H,W), mask
+    (B,H,W)) — mask per opticalflow_aux.c:38-42.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, c, h, w = src.shape
+    nsh = 2 * r + 2
+    h8 = _round_up(h, 8)
+    w128 = _round_up(w, 128)
+    sp = jnp.pad(src, ((0, 0), (0, 0),
+                       (0, 0) if horiz_only else (r + 1, r + 1),
+                       (r + 1, r + 1)), mode="edge")
+    hp8 = _round_up(sp.shape[2], 8) if not horiz_only else h8
+    wpr = _round_up(sp.shape[3], 128)
+    sp = jnp.pad(sp, ((0, 0), (0, 0), (0, hp8 - sp.shape[2]),
+                      (0, wpr - sp.shape[3])))
+    wxp = jnp.pad(wx, ((0, 0), (0, h8 - h), (0, w128 - w)))
+    wyp = jnp.pad(wy, ((0, 0), (0, h8 - h), (0, w128 - w)))
+
+    def kernel(sp_ref, wx_ref, wy_ref, out_ref, mask_ref):
+        wxv = wx_ref[:]
+        wyv = wy_ref[:]
+        gy = jax.lax.broadcasted_iota(jnp.int32, wxv.shape,
+                                      1).astype(jnp.float32)
+        gx = jax.lax.broadcasted_iota(jnp.int32, wxv.shape,
+                                      2).astype(jnp.float32)
+        xx = gx + wxv
+        yy = gy + wyv
+        mask_ref[:] = ((xx >= 0) & (xx <= w - 1) & (yy >= 0)
+                       & (yy <= h - 1)).astype(jnp.float32)
+        xx0 = jnp.floor(wxv)
+        dxf = (wxv - xx0)[:, None]                   # (bb,1,h8,w128)
+        x0i = xx0.astype(jnp.int32)[:, None]
+
+        def wx_j(j):
+            # shift j reads source column x + (j - (r+1)); the (1-dx)
+            # corner lands on x0, dx on x0+1 (same as warp_image_banded)
+            return ((1.0 - dxf) * (x0i == (j - r - 1)).astype(jnp.float32)
+                    + dxf * (x0i == (j - r - 2)).astype(jnp.float32))
+
+        wxw = None if inline_weights else [wx_j(j) for j in range(nsh)]
+
+        def xsum(slab):                              # slab (bb,c,h8,wpr)
+            g = jnp.zeros((bb, c, h8, w128), jnp.float32)
+            for j in range(nsh):
+                sh = pltpu.roll(slab, (wpr - j) % wpr, 3)[:, :, :, :w128]
+                g = g + (wx_j(j) if inline_weights else wxw[j]) * sh
+            return g
+
+        if horiz_only:
+            out_ref[:] = xsum(sp_ref[:])
+            return
+
+        yy0 = jnp.floor(wyv)
+        dyf = (wyv - yy0)[:, None]
+        y0i = yy0.astype(jnp.int32)[:, None]
+        s_all = sp_ref[:]
+        out = jnp.zeros((bb, c, h8, w128), jnp.float32)
+        for k in range(nsh):
+            sk = pltpu.roll(s_all, (hp8 - k) % hp8, 2)[:, :, :h8, :]
+            wyk = ((1.0 - dyf) * (y0i == (k - r - 1)).astype(jnp.float32)
+                   + dyf * (y0i == (k - r - 2)).astype(jnp.float32))
+            out = out + wyk * xsum(sk)
+        out_ref[:] = out
+
+    spc = pl.BlockSpec((bb, c, hp8, wpr), lambda i: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    fld = pl.BlockSpec((bb, h8, w128), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    outc = pl.BlockSpec((bb, c, h8, w128), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out, mask = pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        out_shape=(jax.ShapeDtypeStruct((b, c, h8, w128), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h8, w128), jnp.float32)),
+        in_specs=[spc, fld, fld],
+        out_specs=(outc, fld),
+    )(sp, wxp, wyp)
+    return out[:, :, :h, :w], mask[:, :h, :w]
+
+
 def _banded_warp_valid(wx, wy, r, horiz_only=False):
     """True when every displacement's integer part lies in the band
     (shift offsets k-(r+1) span [-(r+1), r]; floor in [-r, r-2] leaves a
@@ -291,13 +434,50 @@ def warp_image_batched(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
                        use_pallas: bool, bb: int, horiz_only: bool = False):
     """Batched bilinear backward warp: src (B,C,H,W); wx/wy (B,H,W).
 
-    On TPU (use_pallas), small levels take the gather-free MXU one-hot
-    path (warp_image_mxu / warp_image_mxu_h, exact to ~1e-5). Larger levels
-    take the banded shifted-slab warp (warp_image_banded) when the
-    displacements fit its band — always, for real coarse-to-fine flows —
-    with a lax.cond fallback to quantized packed-pair gathers
-    (_warp_gather_packed) otherwise.
+    On TPU (use_pallas), the primary path is the fused banded Pallas
+    kernel (warp_image_banded_pallas, r=4): one VPU kernel, valid when
+    every displacement's integer part is in-band — always, for real
+    coarse-to-fine flows. Out-of-band content falls back per runtime
+    lax.cond: small levels to the gather-free MXU one-hot path
+    (warp_image_mxu / warp_image_mxu_h, exact to ~1e-5 at any
+    displacement), larger levels to the r=16 XLA banded form and then
+    quantized packed-pair gathers (_warp_gather_packed). Levels too big
+    for the kernel's VMEM budget keep the XLA MXU/banded routing below.
     """
+    if use_pallas:
+        b_, c_, h_, w_ = src.shape
+        pick = _pick_warp_bb(b_, c_, h_, w_, _BANDED_WARP_R_SMALL,
+                             horiz_only)
+        if pick is not None:
+            bbw, inline_w = pick
+            small = _use_mxu_warp(b_, c_, h_, w_, horiz_only)
+
+            def happy(_):
+                return warp_image_banded_pallas(
+                    src, wx, wy, _BANDED_WARP_R_SMALL, bbw,
+                    horiz_only=horiz_only, inline_weights=inline_w)
+
+            def fallback(_):
+                coeffs = _warp_coeffs(wx, wy)
+                if small:
+                    if horiz_only:
+                        return warp_image_mxu_h(src, coeffs)
+                    return warp_image_mxu(src, coeffs)
+                return jax.lax.cond(
+                    _banded_warp_valid(wx, wy, _BANDED_WARP_R, horiz_only),
+                    lambda __: (warp_image_banded(src, wx, wy,
+                                                  _BANDED_WARP_R,
+                                                  horiz_only=horiz_only),
+                                coeffs[-1]),
+                    lambda __: (_warp_gather_packed(src, wx, wy, coeffs),
+                                coeffs[-1]),
+                    operand=None)
+
+            return jax.lax.cond(
+                _banded_warp_valid(wx, wy, _BANDED_WARP_R_SMALL,
+                                   horiz_only),
+                happy, fallback, operand=None)
+
     if use_pallas and _use_mxu_warp(src.shape[0], src.shape[1],
                                     src.shape[2], src.shape[3], horiz_only):
         # the fused coeffs kernel's (bbc,H,W) blocks x 9 fields must fit
@@ -879,9 +1059,25 @@ def _of_inner_pallas(wx, wy, mask, i_stack, *, noc, quarter_alpha, hd3, hg3,
 
 
 def _pick_bb(batch: int, h: int, w: int, noc: int) -> int:
-    """Largest divisor of `batch` whose (bB,H,W) working set fits VMEM."""
-    cap = max(1, _pallas_vmem_budget() // (h * w * 4 * _tv_nfields(noc)))
-    bb = min(batch, cap, 8)
+    """Largest divisor of `batch` whose (bB,H,W) working set fits VMEM.
+
+    Small levels raise the block beyond the old cap of 8 until each
+    vector op spans ~64K elements: at op-2's (28,64)/(14,32) levels the
+    bb=8 kernels were instruction-count-bound, not VMEM-bound (batch-384
+    device profile: the (28,64) TV kernel cost MORE than the 4x-larger
+    (56,128) one)."""
+    # VMEM residency is in (8,128)-padded vregs: a (14,32) field occupies
+    # (16,128) — 8x its naive bytes (measured 17.1M stack at bb=64 vs the
+    # 3.4M naive estimate)
+    unit = _round_up(h, 8) * _round_up(w, 128) * 4
+    cap = max(1, _pallas_vmem_budget() // (unit * _tv_nfields(noc)))
+    target = max(8, min(64, -(-65536 // (h * w))))
+    if target > 8:
+        # wide-block regime: Mosaic's stack peaked ~1.44x even the padded
+        # estimate at (14,32) bb=48 (16.94M vs the 16M limit) — shave the
+        # cap rather than inflating every level's field count
+        cap = max(1, cap * 2 // 3)
+    bb = min(batch, cap, target)
     while batch % bb:
         bb -= 1
     return bb

@@ -240,6 +240,12 @@ def test_warp_banded_radius_cascade(monkeypatch):
     every branch must agree with the exact oracle warp."""
     # small test images would route to the MXU warp; force the cascade
     monkeypatch.setenv("OF_DIS_TPU_NO_MXU_WARP", "1")
+    # the r=4 branch is now a Pallas kernel — interpret it on CPU
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **kw: orig(*a, **{"interpret": True, **kw}))
     im1, im2, wx, wy = _data()
     src = jnp.asarray(im2)[None]
     h, w = wx.shape

@@ -57,3 +57,99 @@ def test_de_pallas_matches_pure(monkeypatch, camlr):
     _interp_pallas(monkeypatch)
     d1 = tv.ref_level_de(wx, im1, im2, camlr=camlr, **kw)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-4)
+
+
+def _warp_data(b=2, c=1, h=28, w=40, seed=1, scale=1.5):
+    """Flows clipped inside the r=4 band (banded == gather only in-band)."""
+    rng = np.random.default_rng(seed)
+    src = jnp.asarray(rng.random((b, c, h, w)), jnp.float32) * 255
+    wx = jnp.asarray(np.clip(rng.standard_normal((b, h, w)) * scale,
+                             -2.5, 2.4), jnp.float32)
+    wy = jnp.asarray(np.clip(rng.standard_normal((b, h, w)) * scale,
+                             -2.5, 2.4), jnp.float32)
+    return src, wx, wy
+
+
+@pytest.mark.parametrize("c", [1, 3])
+def test_banded_pallas_warp_matches_gather(monkeypatch, c):
+    """The fused banded-warp kernel must match the exact gather warp for
+    in-band displacements (and its mask must match the coeffs mask)."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw.setdefault("interpret", True)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    src, wx, wy = _warp_data(c=c)
+    ref, mask_ref = tv.warp_image_batched(src, wx, wy, use_pallas=False,
+                                          bb=1)
+    out, mask = tv.warp_image_banded_pallas(src, wx, wy, r=4, bb=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask_ref))
+    # bit-identical to the XLA banded form (same op order)
+    xla = tv.warp_image_banded(src, wx, wy, r=4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(xla))
+
+
+def test_banded_pallas_warp_horiz_only(monkeypatch):
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw.setdefault("interpret", True)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    src, wx, _ = _warp_data(seed=5)
+    wy = jnp.zeros_like(wx)
+    ref, _ = tv.warp_image_batched(src, wx, wy, use_pallas=False, bb=1)
+    out, _ = tv.warp_image_banded_pallas(src, wx, wy, r=4, bb=2,
+                                         horiz_only=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_banded_pallas_warp_inline_weights(monkeypatch):
+    """inline_weights recomputes the x-weights per slab — same result."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw.setdefault("interpret", True)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    src, wx, wy = _warp_data(seed=7)
+    a, ma = tv.warp_image_banded_pallas(src, wx, wy, r=4, bb=1)
+    b, mb = tv.warp_image_banded_pallas(src, wx, wy, r=4, bb=1,
+                                        inline_weights=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ma), np.asarray(mb))
+
+
+def test_warp_batched_pallas_cascade(monkeypatch):
+    """warp_image_batched's TPU routing: the kernel on in-band flows, the
+    exact fallback on wild flows — both matching the gather reference."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw.setdefault("interpret", True)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    # the test images are below the kernel's size gate — lift it so the
+    # happy path actually exercises the kernel
+    monkeypatch.setenv("OF_DIS_TPU_WARP_KERNEL_MIN_PX", "0")
+    src, wx, wy = _warp_data(seed=9)
+    ref, mref = tv.warp_image_batched(src, wx, wy, use_pallas=False, bb=1)
+    out, mask = tv.warp_image_batched(src, wx, wy, use_pallas=True, bb=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(mref))
+    # wild flow: the r=4 band check fails at runtime -> fallback branch
+    wxw = wx + 9.0
+    refw, _ = tv.warp_image_batched(src, wxw, wy, use_pallas=False, bb=1)
+    outw, _ = tv.warp_image_batched(src, wxw, wy, use_pallas=True, bb=1)
+    np.testing.assert_allclose(np.asarray(outw), np.asarray(refw),
+                               atol=1e-3)
