@@ -1409,14 +1409,6 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             return _gn_xla_path(spec, params, im_sel, tpl_fix, p0_fix,
                                 ptr_fix)
 
-        def nofix(_):
-            return (jnp.zeros((k_max, params.nop, nb), jnp.float32),
-                    jnp.zeros((k_max, d, nb), jnp.float32),
-                    jnp.asarray(0, jnp.int32))
-
-        p_fix, pw_fix, it_fix = jax.lax.cond(nbad > 0, fixup, nofix,
-                                             operand=None)
-
         def scat(dst, src):
             # one batched scatter (k_max sequential dynamic-update-slices
             # on the (B, D, T*nb) buffers measured ~2 ms/batch of chained
@@ -1430,15 +1422,30 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             d4 = d4.at[pair_i, :, tile_i].set(val)
             return d4.reshape(dst.shape)
 
-        p_fin = scat(p_fin, p_fix)
-        pw = scat(pw, pw_fix)
         # invalid tiles' kernel iteration counts are garbage (their
         # windows extracted zeros): mask them out of the diagnostic like
-        # their p/pweight were replaced above
+        # their p/pweight are replaced below
         it_valid = jnp.max(jnp.where(ok, it_out, 0))
-        return (_tile_inv(p_fin, spec, geom),
-                _tile_inv(pw, spec, geom),
-                jnp.maximum(it_valid, it_fix))
+
+        # The fix-up's slot gathers/scatters (k_max unrolled dynamic
+        # slices per field + two batched scatters on the (B, D, T*nb)
+        # buffers) live INSIDE the nbad>0 cond: on smooth content they
+        # cost real time unconditionally otherwise (~3.5 ms/batch-8 at
+        # op-3 across the levels, device profile r3) while contributing
+        # nothing. Both branches return the same-shaped buffers, so XLA
+        # aliases them through the conditional on the happy path.
+        def with_fix(_):
+            p_fix, pw_fix, it_fix = fixup(None)
+            return (scat(p_fin, p_fix), scat(pw, pw_fix),
+                    jnp.maximum(it_valid, it_fix))
+
+        def no_fix(_):
+            return (p_fin, pw, it_valid)
+
+        p_out, pw_out, it_res = jax.lax.cond(nbad > 0, with_fix, no_fix,
+                                             operand=None)
+        return (_tile_inv(p_out, spec, geom),
+                _tile_inv(pw_out, spec, geom), it_res)
 
     def fallback(_):
         return _gn_xla_path(spec, params, im_b, tpl, p_init_t, pt_ref_t)
