@@ -481,7 +481,7 @@ def _pick_gn_nb(w1: int, c: int, hpb: int, wp: int, d: int, n: int,
 def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                      tpl: PatchTemplates, p_init_t: jnp.ndarray,
                      pt_ref_t: jnp.ndarray, bb: int, hpb: int,
-                     nb: int = 0):
+                     nb: int = 0, gpk: int = 1):
     """The whole per-level Gauss-Newton loop as one fused Pallas kernel.
 
     Replicates the XLA while-loop body of optimize_level_batched exactly
@@ -505,6 +505,16 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
     built once per program into a VMEM scratch (bit-identical to the old
     HBM-precomputed form; 1/w1 the lhs HBM traffic). tpl fields (B, D, N);
     p_init_t (B, nop, N); pt_ref_t (1, 2, N).
+
+    gpk > 1 = pair packing for small-grid coarse levels: gpk frame pairs
+    share one program's lane axis (N = gpk*n_orig lanes, their planes
+    stacked as gpk column-blocks of lhs's contraction axis). A level with
+    n=32 patches fills only a quarter of each (8,128) vreg — at op-2's
+    coarsest level that made the kernel instruction-bound (1.48ms per
+    384-pair batch for 2% of the pipeline's work). The one-hot gains a
+    per-pair block mask (exact 0/1, so the f32 dot accumulation is
+    bit-identical to separate per-pair dots); everything else in the
+    kernel is lane-parallel already.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -584,11 +594,24 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                 # implicit-dim layout (measured 24% on the tiled kernel).
                 # The per-term masks are identical (row r of term t is hot
                 # iff r - t*wp == sx), so build one (wp, n) compare and
-                # stack it instead of nterms compares over (wp2, n)
+                # stack it instead of nterms compares over (wp2, n).
+                # Pair-packed levels additionally mask each pair's
+                # column-block to its own lanes (blocks are g-major,
+                # t-inner, matching the packed lhs layout).
                 cols = jax.lax.broadcasted_iota(jnp.int32, (wp, n), 0)
                 sxk = sx[k:k + 1]
                 m1 = (cols == sxk).astype(jnp.bfloat16)
-                oh = jnp.concatenate([m1] * nterms, axis=0)
+                if gpk == 1:
+                    oh = jnp.concatenate([m1] * nterms, axis=0)
+                else:
+                    lane_pair = jax.lax.broadcasted_iota(
+                        jnp.int32, (wp, n), 1) // (n // gpk)
+                    blocks = []
+                    for g in range(gpk):
+                        mg = jnp.where(lane_pair == g, m1,
+                                       jnp.bfloat16(0.0))
+                        blocks.extend([mg] * (nterms // gpk))
+                    oh = jnp.concatenate(blocks, axis=0)
                 t = jnp.dot(sc_ref[k], oh,
                             preferred_element_type=jnp.float32)
                 t = t.reshape(w1 * c, hpb, n)
@@ -1488,7 +1511,26 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
         _, hpb, _ = _gn_windows(psz, hp)
         d = psz * psz * noc
         cache_on = _use_extract_cache() and params.max_iter >= 32
-        bb = _pick_gn_bb(b, psz + 1, noc, hpb, wp, d, n, use_cache=cache_on)
+        # pair packing: fill the lane axis at small-grid coarse levels
+        # (see _gn_fused_pallas gpk docs); pack only up to one full vreg.
+        # MEASURED NET LOSS at op-2 batch 384, hence opt-in: the coarsest
+        # GN kernel drops 1.48->0.85 ms, but the batch->lane pack/unpack
+        # transposes around it cost ~0.9 ms of exotic-layout XLA copies
+        # (34.7 -> 34.9 ms end-to-end). Kept behind OF_DIS_TPU_PAIR_PACK=1
+        # for TPU generations with different relayout/VPU cost ratios.
+        import os
+        gpk = 1
+        if os.environ.get("OF_DIS_TPU_PAIR_PACK"):
+            for cand in (4, 3, 2):
+                if n * cand <= 128 and b % cand == 0:
+                    gpk = cand
+                    break
+        bb = _pick_gn_bb(b // gpk, psz + 1, noc, hpb, wp * gpk, d, n * gpk,
+                         use_cache=cache_on)
+        if bb is None and gpk > 1:
+            gpk = 1
+            bb = _pick_gn_bb(b, psz + 1, noc, hpb, wp, d, n,
+                             use_cache=cache_on)
         nb = 0
         if bb is None:
             # large op-3/4 levels: one pair's full patch set busts VMEM.
@@ -1532,9 +1574,28 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
                 p_init_k = pad3(p_init_t)
                 pt_ref_k = pad3(pt_ref_t, v=-1e6)
             lhs = jax.vmap(lambda x: _banded_planes_raw(x, hpb))(im_b)
+            if gpk > 1:
+                def pack(x):     # (B, K, N) -> (B/g, K, g*N), g-major lanes
+                    b_, k_, n_ = x.shape
+                    return x.reshape(b_ // gpk, gpk, k_, n_).transpose(
+                        0, 2, 1, 3).reshape(b_ // gpk, k_, gpk * n_)
+
+                lhs = pack(lhs)
+                tpl_k = PatchTemplates(pack(tpl_k.tmpl), pack(tpl_k.tdx),
+                                       pack(tpl_k.tdy), pack(tpl_k.hes))
+                p_init_k = pack(p_init_k)
+                pt_ref_k = jnp.concatenate([pt_ref_k] * gpk, axis=2)
             p_fin, pw, iters = _gn_fused_pallas(spec, params, lhs, tpl_k,
                                                 p_init_k, pt_ref_k, bb,
-                                                hpb, nb)
+                                                hpb, nb, gpk)
+            if gpk > 1:
+                def unpack(x):   # (B/g, K, g*N) -> (B, K, N)
+                    b_, k_, gn = x.shape
+                    return x.reshape(b_, k_, gpk, gn // gpk).transpose(
+                        0, 2, 1, 3).reshape(b_ * gpk, k_, gn // gpk)
+
+                p_fin = unpack(p_fin)
+                pw = unpack(pw)
             p_fin = p_fin[:, :, :n]
             pw = pw[:, :, :n]
             return PatchResult(

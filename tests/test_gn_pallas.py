@@ -199,3 +199,59 @@ def test_exact_extract_mode(monkeypatch):
         got = _run(prm, spec, img_a, img_b, p_init, True, monkeypatch)
         np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
                                    rtol=0, atol=2e-5)
+
+
+def test_gn_fused_pair_packed_matches_xla(monkeypatch):
+    """Small-grid coarse levels can pack several pairs onto one lane axis
+    (gpk > 1, opt-in via OF_DIS_TPU_PAIR_PACK) — must match the XLA path
+    pair for pair."""
+    monkeypatch.setenv("OF_DIS_TPU_PAIR_PACK", "1")
+
+    h, w, psz = 24, 28, 8
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=12, min_iter=12, p_samp_s=psz,
+                    patove=0.4, noc=1, nop=2, usetvref=False)
+    spec = make_level_spec(0, w, h, prm)
+    n = spec.nopatches
+    assert n * 3 <= 128 < n * 4, "geometry must trigger gpk=3"
+    b = 6
+    rng = np.random.default_rng(11)
+    ims_a, ims_b, tpls, inits = [], [], [], []
+    for i in range(b):
+        img_a, img_b = _make_pair(h, w, c=1, seed=20 + i)
+        im_a, dx_a, dy_a, im_bt = _level_data(img_a, img_b, psz)
+        tpls.append(patch_solver.extract_templates(
+            spec, prm, jnp.asarray(im_a), jnp.asarray(dx_a),
+            jnp.asarray(dy_a)))
+        ims_b.append(jnp.asarray(im_bt))
+        inits.append(jnp.asarray(
+            rng.standard_normal((n, 2)) * 1.5, jnp.float32))
+    im_b_b = jnp.stack(ims_b)
+    tpl_b = patch_solver.PatchTemplates(
+        *(jnp.stack([getattr(t, f) for t in tpls])
+          for f in ("tmpl", "tdx", "tdy", "hes")))
+    p_init = jnp.stack(inits)
+
+    def run(fused):
+        with monkeypatch.context() as m:
+            if fused:
+                from jax.experimental import pallas as pl
+                orig = pl.pallas_call
+
+                def patched(*args, **kw):
+                    kw.setdefault("interpret", True)
+                    return orig(*args, **kw)
+
+                m.setattr(pl, "pallas_call", patched)
+                m.setattr(patch_solver, "_use_pallas_bilerp", lambda: True)
+            else:
+                m.setattr(patch_solver, "_use_pallas_bilerp",
+                          lambda: False)
+            return patch_solver.optimize_level_batched.__wrapped__(
+                spec, prm, im_b_b, tpl_b, p_init)
+
+    ref = run(False)
+    got = run(True)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.pweight),
+                               np.asarray(ref.pweight), rtol=0, atol=2e-2)
