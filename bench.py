@@ -227,14 +227,16 @@ def main():
             p3c, base3, shift3, b3, 3)
 
         # depth op-2 (1-D disparity; left camera clamps >=0 shifts to zero,
-        # so use a negative-x disparity field)
+        # so use a negative-x disparity field). Batch 256: depth device
+        # time is ~63us/pair, so small batches are dispatch-bound (batch
+        # 64 measured 8.3k pairs/s vs 12.9k at 256)
         u, v = _flow_field(h_org, w_org)
-        based = base[:64]
+        based = base[:256]
         shiftd = np.clip(np.rint(_warp_pairs(
             based, -np.abs(u), np.zeros_like(v))), 0, 255).astype(np.uint8)
         pd = op_point_params(w_org, 2, nop=1, noc=1, verbosity=0)
         secondary["de_op2_pairs_per_sec"] = _measure(
-            pd, based, shiftd, min(batch, 64), 4)
+            pd, based, shiftd, min(batch, 256), 4)
 
     print(json.dumps({
         "metric": "sintel_1024x436_op2_pairs_per_sec",

@@ -245,7 +245,11 @@ def _pick_warp_bb(b: int, c: int, h: int, w: int, r: int,
     # (measured: op-2 finest level 3.26MB/pair real, bb=4 -> 13M, fits)
     cap = _vmem_cap(6 * 1024 * 1024)
     for inline in (False, True):
-        per = nsh * (a + 2 * unit) + (0 if inline else nsh * unit)
+        # the rolled-slab temporaries carry the channel dim (measured:
+        # noc=3 at (56,128) peaks ~10MB/pair where the c-less estimate
+        # said 3.1 — the g/out accumulators and roll scratch are all
+        # (bb, c, h8, w128))
+        per = nsh * (a + 2 * c * unit) + (0 if inline else nsh * unit)
         for cand in (8, 4, 2, 1):
             if b % cand == 0 and cand * per < cap:
                 return cand, inline
