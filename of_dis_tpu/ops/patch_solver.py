@@ -392,6 +392,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _masked_gn_loop(max_iter: int, body, carry0):
+    """Run the masked GN iteration `body` with block-level early exit.
+
+    Semantically identical to `lax.fori_loop(0, max_iter, body, carry0)`:
+    every carry update in `body` is gated on the per-patch active mask
+    (carry index 3, a 0/1 f32), patches never reactivate, and the iters
+    diagnostic adds max(active)==0 on dead trips — so an iteration entered
+    with no active patch is an identity on every observed output and the
+    while_loop may stop there. The only non-gated carry slot is the
+    extraction cache, which is unobserved once its patch is inactive.
+    Matters most at op-4 (max_iter=128, typical convergence ~10-20):
+    the fixed-trip form burns >100 dead iterations per block."""
+    def cond(state):
+        i, carry = state
+        return (i < max_iter) & (jnp.max(carry[3]) > 0.5)
+
+    def wbody(state):
+        i, carry = state
+        return i + 1, body(i, carry)
+
+    return jax.lax.while_loop(cond, wbody, (jnp.int32(0), carry0))[1]
+
+
 def _vmem_cap(default_bytes: int) -> int:
     """Kernel VMEM-budget caps, scaled by OF_DIS_TPU_VMEM_SCALE (a float;
     e.g. 1.5 on TPU generations with more than v5e's 16MB/core VMEM, <1 to
@@ -756,7 +779,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                   mares0,
                   jnp.full((bb, n), 1e-10, jnp.float32),
                   jnp.float32(0.0)) + ((cache0,) if use_cache else ())
-        out = jax.lax.fori_loop(0, params.max_iter, body, carry0)
+        out = _masked_gn_loop(params.max_iter, body, carry0)
         po_ref[:] = out[0]
         pw_ref[:] = out[2]
         # whole-array SMEM block shared across grid steps (a (1,1) block
@@ -1261,7 +1284,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
         carry0 = (p_init, rhs0, pweight0, active0.astype(jnp.float32),
                   mares0, jnp.full((1, nb), 1e-10, jnp.float32),
                   jnp.float32(0.0), cache0)
-        out = jax.lax.fori_loop(0, params.max_iter, body, carry0)
+        out = _masked_gn_loop(params.max_iter, body, carry0)
         po_ref[0] = out[0]
         pw_ref[0] = out[2]
         it_ref[bi_, ti_] = out[6].astype(jnp.int32)
