@@ -128,6 +128,12 @@ def _dis_flow_core(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
         lambda x: pyramid.build_pyramid(x, params.sc_f, pad,
                                         lv_l=params.sc_l))(im_b)
     batch = im_a.shape[0]
+    # u8-sourced pyramids reconstruct exactly from the bf16 hi/lo planes
+    # (known at trace time from the input dtype) — this licenses the
+    # tiled GN kernel's in-kernel template extraction (bit-identical to
+    # extract_templates there, see optimize_level_batched)
+    src_exact_fw = im_a.dtype == jnp.uint8
+    src_exact_bw = im_b.dtype == jnp.uint8
 
     flow = None
     flow_bw = None
@@ -137,8 +143,6 @@ def _dis_flow_core(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
         ia, dxa, dya = ims_a[sl], dxs_a[sl], dys_a[sl]
         ib, dxb, dyb = ims_b[sl], dxs_b[sl], dys_b[sl]
 
-        tpl_fw = jax.vmap(lambda a, dx, dy: patch_solver.extract_templates(
-            spec, params, a, dx, dy))(ia, dxa, dya)
         if flow is None:
             if init_flow is not None:
                 p_init = jax.vmap(lambda f: patch_solver.init_from_coarser(
@@ -149,21 +153,21 @@ def _dis_flow_core(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
         else:
             p_init = jax.vmap(lambda f: patch_solver.init_from_coarser(
                 spec, params, f))(flow)
-        res_fw = patch_solver.optimize_level_batched(spec, params, ib,
-                                                     tpl_fw, p_init)
+        res_fw = patch_solver.optimize_level_batched(
+            spec, params, ib, None, p_init, src=(ia, dxa, dya),
+            src_exact=src_exact_fw)
 
         res_bw = None
         if params.usefbcon:
-            tpl_bw = jax.vmap(lambda a, dx, dy: patch_solver.extract_templates(
-                spec_bw, params, a, dx, dy))(ib, dxb, dyb)
             if flow_bw is None:
                 p_init_bw = jnp.zeros((batch, spec_bw.nopatches, params.nop),
                                       jnp.float32)
             else:
                 p_init_bw = jax.vmap(lambda f: patch_solver.init_from_coarser(
                     spec_bw, params, f))(flow_bw)
-            res_bw = patch_solver.optimize_level_batched(spec_bw, params, ia,
-                                                         tpl_bw, p_init_bw)
+            res_bw = patch_solver.optimize_level_batched(
+                spec_bw, params, ia, None, p_init_bw, src=(ib, dxb, dyb),
+                src_exact=src_exact_bw)
 
         def _densify(sp, res, compl):
             # vmap over explicit fields (the batched result's `iters` is a

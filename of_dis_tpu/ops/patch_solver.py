@@ -174,6 +174,15 @@ def extract_templates(spec: LevelSpec, params: DISParams, im: jnp.ndarray,
     return PatchTemplates(tmpl, tdx, tdy, hes)
 
 
+def _batched_templates(spec: LevelSpec, params: DISParams,
+                       src) -> PatchTemplates:
+    """extract_templates over a batch of source fields (im, dx, dy),
+    each (B, C, Hp, Wp)."""
+    im, dx, dy = src
+    return jax.vmap(lambda a, gx, gy: extract_templates(
+        spec, params, a, gx, gy))(im, dx, dy)
+
+
 def _extract_terms() -> int:
     """bf16 term count of the plane split used by every MXU extraction
     path: 2 (hi/lo, ~16-bit mantissa — comfortably inside the 1% EPE
@@ -876,6 +885,14 @@ class _TileGeom(NamedTuple):
     # two-stage form has no banded-lhs scratch, which is what lets noc=3
     # (RGB) fit a window at all.
     two_stage: bool = False
+    # in-kernel template extraction (ybs > 0 enables it): the kernel DMAs
+    # a small static source-image window per tile and extracts the
+    # templates/gradients/Hessian itself instead of reading (B, D, N)
+    # HBM template arrays — killing their build + tiled-order relayout
+    # (~25% of op-3 batch time). Static window dims; both fit inside the
+    # target scratch (ybs <= yb, xbs <= xb), which is reused.
+    ybs: int = 0   # source window rows (8-aligned)
+    xbs: int = 0   # source window cols (128-aligned; DMA is xbs+128 wide)
 
 
 # (tx, ty, xb, yb) tile/window candidates, tried per lane width nb=tx*ty.
@@ -892,10 +909,16 @@ _TILE_CANDIDATES = ((32, 8, 256, 64), (32, 8, 256, 72), (32, 8, 256, 80),
                     (64, 2, 384, 48), (128, 1, 512, 40))
 
 
-def _pick_tile_geom(spec: LevelSpec, params: DISParams):
+def _pick_tile_geom(spec: LevelSpec, params: DISParams,
+                    inkernel: bool = False):
     """Choose the tile/window geometry for a level, or None when no
     candidate fits the VMEM budget (then the caller falls back to the
     unwindowed nb-blocked kernel / XLA path).
+
+    inkernel=True asks for in-kernel template extraction (source-window
+    dims ybs/xbs set): granted per candidate when the static source
+    window fits inside the target scratch it reuses; otherwise the
+    candidate is kept with templates DMA'd from HBM as before.
 
     Two formulations are tried in order:
     1. two-stage: the dot contracts over x only (K = xb per hi/lo plane,
@@ -936,9 +959,24 @@ def _pick_tile_geom(spec: LevelSpec, params: DISParams):
                 continue
             nbands = (yb - wbnd) // 8 + 1
             nt = _extract_terms()
+            # in-kernel template extraction: static source window (no
+            # drift margin — template positions are the fixed grid), must
+            # fit inside the target scratch it reuses
+            ybs = xbs = 0
+            if inkernel:
+                xbs_c = _round_up((tx - 1) * steps + 127 + w1, 128)
+                ybs_c = _round_up((ty - 1) * steps + 7 + wbnd, 8)
+                if xbs_c <= xb and ybs_c <= yb:
+                    ybs, xbs = ybs_c, xbs_c
+            if ybs:
+                # tmpl/tdx/tdy live as values (no double-buffered input
+                # blocks); t_src is the source x-dot temporary
+                tpl_bytes = 3 * d * nb * 4 + w1c * ybs * nb * 4
+            else:
+                tpl_bytes = 2 * 3 * d * nb * 4  # blocked tmpl/tdx/tdy (x2)
             common = (nt * w1c * yb * xb * 2     # shifted-win scratch (bf16)
                       + nt * noc * yb * (xb + 128) * 2  # raw DMA window
-                      + 2 * 3 * d * nb * 4      # blocked tmpl/tdx/tdy (x2)
+                      + tpl_bytes
                       + 10 * d * nb * 4)        # carry + outputs + temps
             if not two_stage:
                 k = nbands * nt * xb
@@ -962,8 +1000,41 @@ def _pick_tile_geom(spec: LevelSpec, params: DISParams):
             hppp = _round_up(spec.padded_height, 8) + yb
             wppp = _round_up(spec.padded_width, 128) + xb + 128
             return _TileGeom(tx, ty, nb, xb, yb, wbnd, nbands, margin,
-                             hppp, wppp, two_stage)
+                             hppp, wppp, two_stage, ybs, xbs)
     return None
+
+
+def _src_origins(spec: LevelSpec, params: DISParams, geom: _TileGeom):
+    """Static per-tile source-window origins for the in-kernel template
+    extraction: (1, T) int32 each, 128/8-aligned. The window construction
+    in _pick_tile_geom guarantees coverage of every tile's template span
+    (positions are the fixed grid — no runtime validity needed)."""
+    psz = params.p_samp_s
+    _, _, t_tiles = _tile_perm(spec, geom)
+    nty = -(-spec.noph // geom.ty)
+    xs = np.empty((1, t_tiles), np.int32)
+    ys = np.empty((1, t_tiles), np.int32)
+    for ti in range(t_tiles):
+        gx0 = (ti // nty) * geom.tx
+        gy0 = (ti % nty) * geom.ty
+        min_sx = spec.offsetw + gx0 * spec.steps - psz // 2 + spec.pad
+        min_sy = spec.offseth + gy0 * spec.steps - psz // 2 + spec.pad
+        assert min_sx >= 0 and min_sy >= 0
+        xs[0, ti] = (min_sx // 128) * 128
+        ys[0, ti] = (min_sy // 8) * 8
+        assert xs[0, ti] + geom.xbs + 128 <= geom.wppp
+        assert ys[0, ti] + geom.ybs <= geom.hppp
+    return jnp.asarray(xs), jnp.asarray(ys)
+
+
+def _build_planes_src(im, dx, dy, hppp: int, wppp: int) -> jnp.ndarray:
+    """(B, C, Hp, Wp) source image + gradient fields -> (B, nt, 3, C,
+    hppp, wppp) bf16 term-split planes for the in-kernel template
+    extraction (field axis: 0 = image, 1 = dx, 2 = dy)."""
+    cat = jnp.stack([im, dx, dy], axis=1)            # (B, 3, C, Hp, Wp)
+    sh = jnp.pad(cat, ((0, 0), (0, 0), (0, 0),
+                       (0, hppp - cat.shape[3]), (0, wppp - cat.shape[4])))
+    return jnp.stack(_split_bf16(sh), axis=1)
 
 
 def _tile_perm(spec: LevelSpec, geom: _TileGeom):
@@ -1033,8 +1104,8 @@ def _build_planes2(im_b: jnp.ndarray, hppp: int, wppp: int) -> jnp.ndarray:
 
 
 def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
-                     planes2, tpl_p: PatchTemplates, p_init_p, ptr_p,
-                     xs, ys):
+                     planes2, tpl_p, p_init_p, ptr_p,
+                     xs, ys, planes_src=None, xsrc=None, ysrc=None):
     """Windowed tiled Gauss-Newton kernel for large fine levels.
 
     The unwindowed fused kernel's one-hot extraction does O(Wp * Hp) MXU +
@@ -1052,6 +1123,22 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
     tiled patch order; p_init_p (B, nop, Np); ptr_p (1, 2, Np) with -1e6
     at ragged-pad slots; xs/ys (B, T) int32 window origins (128/8-aligned).
     Returns (p (B, nop, Np), pweight (B, D, Np)) in tiled order.
+
+    In-kernel template extraction (tpl_p None, planes_src/xsrc/ysrc set,
+    geom.ybs > 0): instead of DMA'ing (D, nb) template/gradient blocks
+    prepared (and tiled-order-relayouted) in HBM, each program DMAs the
+    small static source window its tile's templates occupy (template
+    positions are the fixed grid) from planes_src (B, nt, 3, C, hppp,
+    wppp — field axis im/dx/dy) and extracts tmpl/tdx/tdy with the same
+    two-stage one-hot machinery at integer anchors, then mean-normalizes
+    (patnorm) and builds the Hessian in VMEM. Anchors come from ptr_p in
+    int32 arithmetic — NOT through the float ceil(pt+1e-5) path, whose
+    +1e-5 no longer survives f32 rounding at pt >= 128. For u8-sourced
+    pyramids (levels <= 3) the bf16 hi/lo split is exact, so the
+    extracted values are bit-identical to extract_templates'; the
+    patnorm mean / Hessian / projection reductions may still differ
+    from the XLA path by reduction-order ulps (measured |dp| <= ~1e-4
+    after a full GN run).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1064,14 +1151,21 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
     nterms = planes2.shape[1]              # 2, or 3 in exact-extract mode
     kdim = nbands * nterms * xb
     b = planes2.shape[0]
-    d = tpl_p.tmpl.shape[1]
-    n_pad = tpl_p.tmpl.shape[2]
+    inkernel = planes_src is not None
+    d = psz * psz * noc
+    n_pad = p_init_p.shape[2]
     t_tiles = n_pad // nb
-    nh = tpl_p.hes.shape[1]
+    nh = 3 if nop == 2 else 1
+    ybs, xbs = geom.ybs, geom.xbs
     novals = float(params.novals)
 
-    def kernel(xs_ref, ys_ref, planes_ref, tm_ref, tx_ref, ty_ref, he_ref,
-               p0_ref, pr_ref, po_ref, pw_ref, it_ref, *scratch):
+    def kernel(*refs):
+        if inkernel:
+            (xs_ref, ys_ref, xsrc_ref, ysrc_ref, planes_ref, src_ref,
+             p0_ref, pr_ref, po_ref, pw_ref, it_ref, *scratch) = refs
+        else:
+            (xs_ref, ys_ref, planes_ref, tm_ref, tx_ref, ty_ref, he_ref,
+             p0_ref, pr_ref, po_ref, pw_ref, it_ref, *scratch) = refs
         if geom.two_stage:
             wdma, win, sem = scratch
             lhs = None
@@ -1079,6 +1173,82 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             wdma, win, lhs, sem = scratch
         bi_ = pl.program_id(0)
         ti_ = pl.program_id(1)
+        p_init = p0_ref[0]                  # (nop, nb)
+        ptr = pr_ref[0]                     # (2, nb)
+
+        if inkernel:
+            # ---- in-kernel template extraction from the static source
+            # window (reuses the wdma/win scratch before the target pass)
+            xsr0 = pl.multiple_of(xsrc_ref[0, ti_], 128)
+            ysr0 = pl.multiple_of(ysrc_ref[0, ti_], 8)
+            # integer anchors straight from the (exact-integer) grid refs;
+            # pad slots carry -1e6 -> empty one-hot -> zero templates
+            sxs = ptr[0:1].astype(jnp.int32) - psz // 2 + spec.pad - xsr0
+            sys_ = ptr[1:2].astype(jnp.int32) - psz // 2 + spec.pad - ysr0
+            nbands_s = (ybs - wbnd) // 8 + 1
+            colsx_s = jax.lax.broadcasted_iota(jnp.int32, (xbs, nb), 0)
+            xh_s = (colsx_s == sxs).astype(jnp.bfloat16)
+            band_s = jax.lax.shift_right_logical(sys_, 3)
+            s3_s = jnp.bitwise_and(sys_, 7)
+
+            def extract_field(f):
+                dma_s = pltpu.make_async_copy(
+                    src_ref.at[bi_, :, f, :, pl.ds(ysr0, ybs),
+                               pl.ds(xsr0, xbs + 128)],
+                    wdma.at[:, :, :ybs, :xbs + 128], sem)
+                dma_s.start()
+                dma_s.wait()
+                for h in range(nterms):
+                    for s in range(w1):
+                        for ch in range(noc):
+                            win[h, s * noc + ch, :ybs, :xbs] = \
+                                wdma[h, ch, :ybs, s:s + xbs]
+                t = sum(jnp.dot(
+                    win[h, :, :ybs, :xbs].reshape(w1c * ybs, xbs), xh_s,
+                    preferred_element_type=jnp.float32)
+                    for h in range(nterms))
+                t3b = t.reshape(w1c, ybs, nb)
+                tb = jnp.zeros((w1c, wbnd, nb), jnp.float32)
+                for band in range(nbands_s):
+                    m = (band_s == band)[None]
+                    tb = tb + jnp.where(
+                        m, t3b[:, 8 * band:8 * band + wbnd, :], 0.0)
+                a = tb
+                for bit in range(3):
+                    amt = 1 << bit
+                    rolled = pltpu.roll(a, (wbnd - amt) % wbnd, 1)
+                    m = (jnp.bitwise_and(jax.lax.shift_right_logical(
+                        s3_s, bit), 1) == 1)[None]
+                    a = jnp.where(m, rolled, a)
+                # integer anchors: rows j / shifts 0..psz-1 ARE the patch
+                parts = []
+                for j in range(psz):
+                    row = a[:, j, :].reshape(w1, noc, nb)
+                    parts.append(row[:psz].reshape(psz * noc, nb))
+                return jnp.concatenate(parts, axis=0)       # (D, nb)
+
+            tmpl = extract_field(0)
+            if params.patnorm > 0:
+                tmpl = tmpl - tmpl.mean(axis=0, keepdims=True)
+            tdx = extract_field(1)
+            tdy = extract_field(2) if nop == 2 else None
+            # Hessian + det guard (extract_templates, patch.cpp:69-86)
+            h00 = jnp.sum(tdx * tdx, axis=0, keepdims=True)
+            if nop == 2:
+                h01 = jnp.sum(tdx * tdy, axis=0, keepdims=True)
+                h11 = jnp.sum(tdy * tdy, axis=0, keepdims=True)
+                det = h00 * h11 - h01 * h01
+                g = jnp.where(det == 0.0, 1e-10, 0.0)
+                hes = jnp.concatenate([h00 + g, h01, h11 + g],
+                                      axis=0)[None]
+            else:
+                hes = (h00 + jnp.where(h00 == 0.0, 1e-10, 0.0))[None]
+        else:
+            tmpl = tm_ref[0]                # (D, nb)
+            tdx = tx_ref[0]
+            tdy = ty_ref[0]
+            hes = he_ref[0][None]           # (1, nh, nb) for _solve_step
+
         # alignment hints: Mosaic must prove the DMA offsets divide the
         # (8, 128) tiling (the host-side window computation guarantees it)
         xs0 = pl.multiple_of(xs_ref[bi_, ti_], 128)
@@ -1102,13 +1272,6 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                     blk = win[h, :, 8 * band:8 * band + wbnd, :]
                     col = (band * nterms + h) * xb
                     lhs[:, col:col + xb] = blk.reshape(w1c * wbnd, xb)
-
-        tmpl = tm_ref[0]                    # (D, nb)
-        tdx = tx_ref[0]
-        tdy = ty_ref[0]
-        hes = he_ref[0][None]               # (1, nh, nb) for _solve_step
-        p_init = p0_ref[0]                  # (nop, nb)
-        ptr = pr_ref[0]                     # (2, nb)
 
         def to_pt(p):
             if nop == 2:
@@ -1299,18 +1462,34 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                            memory_space=pltpu.VMEM)
     blk_it = pl.BlockSpec((b, t_tiles), lambda i, j: (0, 0),
                           memory_space=pltpu.SMEM)
+    if inkernel:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            blk_p, blk_ptr,
+        ]
+        operands = (xs, ys, xsrc, ysrc, planes2, planes_src,
+                    p_init_p, ptr_p)
+    else:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            blk_d, blk_d, blk_d, blk_h, blk_p, blk_ptr,
+        ]
+        operands = (xs, ys, planes2, tpl_p.tmpl, tpl_p.tdx, tpl_p.tdy,
+                    tpl_p.hes, p_init_p, ptr_p)
     return pl.pallas_call(
         kernel,
         grid=(b, t_tiles),
         out_shape=(jax.ShapeDtypeStruct((b, nop, n_pad), jnp.float32),
                    jax.ShapeDtypeStruct((b, d, n_pad), jnp.float32),
                    jax.ShapeDtypeStruct((b, t_tiles), jnp.int32)),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            blk_d, blk_d, blk_d, blk_h, blk_p, blk_ptr,
-        ],
+        in_specs=in_specs,
         out_specs=(blk_p, blk_d, blk_it),
         scratch_shapes=(
             [pltpu.VMEM((nterms, noc, yb, xb + 128), jnp.bfloat16),
@@ -1318,8 +1497,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             + ([] if geom.two_stage else
                [pltpu.VMEM((w1c * wbnd, kdim), jnp.bfloat16)])
             + [pltpu.SemaphoreType.DMA(())]),
-    )(xs, ys, planes2, tpl_p.tmpl, tpl_p.tdx, tpl_p.tdy, tpl_p.hes,
-      p_init_p, ptr_p)
+    )(*operands)
 
 
 def _tile_windows(spec: LevelSpec, params: DISParams, geom: _TileGeom,
@@ -1377,7 +1555,7 @@ def _tile_windows(spec: LevelSpec, params: DISParams, geom: _TileGeom,
 
 
 def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
-                    im_b, tpl: PatchTemplates, p_init_t, pt_ref_t):
+                    im_b, tpl, p_init_t, pt_ref_t, src=None):
     """Tiled windowed GN with bounded per-tile exact recompute.
 
     Window validity is per (pair, tile): a tile whose init positions exceed
@@ -1413,14 +1591,24 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
              else min(16, max(4, 2 * b)))
     k_max = min(k_max, b * t_tiles)
 
+    inkernel = geom.ybs > 0
+
     def tiled(_):
-        take = lambda x: _tile_fwd(x, spec, geom)
-        tpl_p = PatchTemplates(take(tpl.tmpl), take(tpl.tdx),
-                               take(tpl.tdy), take(tpl.hes))
         planes2 = _build_planes2(im_b, geom.hppp, geom.wppp)
-        p_fin, pw, it_out = _gn_tiled_pallas(spec, params, geom, planes2,
-                                             tpl_p, p_init_p, ptr_p, xs, ys)
-        d = tpl_p.tmpl.shape[1]
+        if inkernel:
+            planes_src = _build_planes_src(src[0], src[1], src[2],
+                                           geom.hppp, geom.wppp)
+            xsrc, ysrc = _src_origins(spec, params, geom)
+            tpl_p = None
+            p_fin, pw, it_out = _gn_tiled_pallas(
+                spec, params, geom, planes2, None, p_init_p, ptr_p, xs, ys,
+                planes_src, xsrc, ysrc)
+        else:
+            take = lambda x: _tile_fwd(x, spec, geom)
+            tpl_p = PatchTemplates(take(tpl.tmpl), take(tpl.tdx),
+                                   take(tpl.tdy), take(tpl.hes))
+            p_fin, pw, it_out = _gn_tiled_pallas(
+                spec, params, geom, planes2, tpl_p, p_init_p, ptr_p, xs, ys)
         if k_max == 0:       # fix-up disabled: any bad tile full-falls-back
             return (_tile_inv(p_fin, spec, geom),
                     _tile_inv(pw, spec, geom), jnp.max(it_out))
@@ -1441,8 +1629,38 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 return jnp.stack(
                     [g(x, k, pair_i[k]) for k in range(k_max)], 0)
 
-            tpl_fix = PatchTemplates(gather(tpl_p.tmpl), gather(tpl_p.tdx),
-                                     gather(tpl_p.tdy), gather(tpl_p.hes))
+            if inkernel:
+                # templates were never materialized: build them (lazily,
+                # on this rare branch only) in column-major order and
+                # gather each bad tile's (tx, ty) grid block directly —
+                # cheaper than the full tiled-order relayout
+                tpl_cm = _batched_templates(spec, params, src)
+                nty = -(-spec.noph // geom.ty)
+                ntx = -(-spec.nopw // geom.tx)
+
+                def gather_cm(x):                        # (B, C_, N)
+                    xp = jnp.pad(
+                        x.reshape(b, x.shape[1], spec.nopw, spec.noph),
+                        ((0, 0), (0, 0), (0, ntx * geom.tx - spec.nopw),
+                         (0, nty * geom.ty - spec.noph)))
+
+                    def g4(k):
+                        sl = jax.lax.dynamic_slice(
+                            xp, (pair_i[k], 0,
+                                 (tile_i[k] // nty) * geom.tx,
+                                 (tile_i[k] % nty) * geom.ty),
+                            (1, xp.shape[1], geom.tx, geom.ty))
+                        return sl.reshape(xp.shape[1], nb)
+
+                    return jnp.stack([g4(k) for k in range(k_max)], 0)
+
+                tpl_fix = PatchTemplates(
+                    gather_cm(tpl_cm.tmpl), gather_cm(tpl_cm.tdx),
+                    gather_cm(tpl_cm.tdy), gather_cm(tpl_cm.hes))
+            else:
+                tpl_fix = PatchTemplates(
+                    gather(tpl_p.tmpl), gather(tpl_p.tdx),
+                    gather(tpl_p.tdy), gather(tpl_p.hes))
             p0_fix = gather(p_init_p)
             ptr_fix = jnp.stack(
                 [g(ptr_p, k, 0) for k in range(k_max)], 0)  # (K, 2, nb)
@@ -1455,7 +1673,7 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             return _gn_xla_path(spec, params, im_sel, tpl_fix, p0_fix,
                                 ptr_fix)
 
-        def scat(dst, src):
+        def scat(dst, new):
             # one batched scatter (k_max sequential dynamic-update-slices
             # on the (B, D, T*nb) buffers measured ~2 ms/batch of chained
             # copies). Duplicate slots (the nonzero fill) always carry
@@ -1463,7 +1681,7 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             cur = jax.vmap(lambda pi, ti: jax.lax.dynamic_slice(
                 dst, (pi, 0, ti * nb), (1, dst.shape[1], nb))[0])(
                 pair_i, tile_i)
-            val = jnp.where(slot_bad[:, None, None], src, cur)
+            val = jnp.where(slot_bad[:, None, None], new, cur)
             d4 = dst.reshape(b, dst.shape[1], t_tiles, nb)
             d4 = d4.at[pair_i, :, tile_i].set(val)
             return d4.reshape(dst.shape)
@@ -1494,15 +1712,18 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 _tile_inv(pw_out, spec, geom), it_res)
 
     def fallback(_):
-        return _gn_xla_path(spec, params, im_b, tpl, p_init_t, pt_ref_t)
+        tpl_fb = (_batched_templates(spec, params, src) if inkernel
+                  else tpl)
+        return _gn_xla_path(spec, params, im_b, tpl_fb, p_init_t, pt_ref_t)
 
     return jax.lax.cond(nbad <= k_max, tiled, fallback, operand=None)
 
 
-@partial(jax.jit, static_argnames=("spec", "params"))
+@partial(jax.jit, static_argnames=("spec", "params", "src_exact"))
 def optimize_level_batched(spec: LevelSpec, params: DISParams,
-                           im_b: jnp.ndarray, tpl: PatchTemplates,
-                           p_init: jnp.ndarray) -> PatchResult:
+                           im_b: jnp.ndarray, tpl,
+                           p_init: jnp.ndarray, src=None,
+                           src_exact: bool = False) -> PatchResult:
     """Optimize all patches of one scale for a whole frame-pair batch
     (PatGridClass::Optimize, patchgrid.cpp:134-141 + PatClass::OptimizeIter,
     patch.cpp:156-210).
@@ -1511,6 +1732,15 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
     p_init: (B, N, nop). Native batching (instead of vmap) lets the one-hot
     extraction run as one batched MXU dot and the row-select/bilerp stage as
     one batch-blocked Pallas kernel.
+
+    tpl may be None when `src` = (im_a, dx_a, dy_a) source fields are
+    given instead: templates are then built lazily per strategy — and
+    the tiled kernel skips materializing them entirely (extracting
+    in-kernel from a static source window) when `src_exact` declares
+    the pyramid u8-sourced (bf16 hi/lo plane reconstruction exact, so
+    the in-kernel values are bit-identical to extract_templates') at a
+    level where that exactness holds (images need 8+2*lv significand
+    bits, Sobel/8 gradients 11+2*lv; hi/lo covers 16).
     """
     psz, pad, nop = params.p_samp_s, spec.pad, params.nop
     noc = params.noc
@@ -1522,6 +1752,12 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
     use_pallas = _use_pallas_bilerp()
     p_init_t = jnp.swapaxes(p_init, 1, 2)               # (B, nop, N)
     pt_ref_t = pt_ref.T[None]                           # (1, 2, N)
+
+    def ensure_tpl(t):
+        if t is not None:
+            return t
+        assert src is not None, "optimize_level_batched needs tpl or src"
+        return _batched_templates(spec, params, src)
 
     def to_pt(p):
         # (B, nop, N) -> (B, 2, N)
@@ -1561,11 +1797,15 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
             # 2-D patch tile — O(window) instead of O(Wp*Hp) work per
             # patch), with a runtime fall back to the XLA path when a
             # tile's coarser-flow spread exceeds its static window.
-            geom = _pick_tile_geom(spec, params)
+            want_ik = (src is not None and src_exact and spec.level <= 3
+                       and psz % 2 == 0
+                       and not os.environ.get("OF_DIS_TPU_NO_INKERNEL_TPL"))
+            geom = _pick_tile_geom(spec, params, inkernel=want_ik)
             if geom is not None:
+                tpl_t = tpl if geom.ybs > 0 else ensure_tpl(tpl)
                 p_fin, pw, iters = _optimize_tiled(spec, params, geom,
-                                                   im_b, tpl, p_init_t,
-                                                   pt_ref_t)
+                                                   im_b, tpl_t, p_init_t,
+                                                   pt_ref_t, src=src)
                 return PatchResult(
                     p=jnp.swapaxes(p_fin, 1, 2),
                     pt=jnp.swapaxes(to_pt(p_fin), 1, 2),
@@ -1578,6 +1818,7 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
             if nb is not None:
                 bb = 1
         if bb is not None:
+            tpl = ensure_tpl(tpl)
             n_pad = n if not nb else _round_up(n, nb)
             tpl_k, p_init_k, pt_ref_k = tpl, p_init_t, pt_ref_t
             if n_pad != n:
@@ -1627,8 +1868,8 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
                 pweight=pw.reshape(b, psz, psz, noc, n),
                 iters=iters)
 
-    p_fin, pw, iters = _gn_xla_path(spec, params, im_b, tpl, p_init_t,
-                                    pt_ref_t)
+    p_fin, pw, iters = _gn_xla_path(spec, params, im_b, ensure_tpl(tpl),
+                                    p_init_t, pt_ref_t)
     return PatchResult(p=jnp.swapaxes(p_fin, 1, 2),
                        pt=jnp.swapaxes(to_pt(p_fin), 1, 2),
                        pweight=pw.reshape(b, psz, psz, noc, n),

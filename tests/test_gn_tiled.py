@@ -300,3 +300,131 @@ def test_tiled_iters_matches_xla(monkeypatch):
     got = _run(prm, spec, im_b, tpl, p_init, "tiled", monkeypatch)
     assert 0 < int(want.iters) < prm.max_iter
     assert int(got.iters) == int(want.iters)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel template extraction (geom.ybs > 0): the tiled kernel extracts
+# templates/gradients/Hessian from a static source window instead of
+# reading (B, D, N) HBM template arrays. For u8-valued images the bf16
+# hi/lo planes reconstruct exactly, so extracted values are bit-identical
+# to extract_templates'; the in-kernel mean/Hessian/projection reductions
+# may differ by ordering ulps (tolerances below account for the drift
+# through a full GN run).
+
+def _setup_u8(noc=1, nop=2, patnorm=1, seed=0, h=H, w=W):
+    psz = 8
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=8, min_iter=8, p_samp_s=psz,
+                    patove=0.4, costfct=0, patnorm=patnorm, noc=noc,
+                    nop=nop, usetvref=False)
+    spec = make_level_spec(0, w, h, prm)
+    img_a, img_b = _make_pair(h, w, c=noc, seed=seed)
+    img_a = np.round(np.clip(img_a, 0, 255)).astype(np.float32)
+    img_b = np.round(np.clip(img_b, 0, 255)).astype(np.float32)
+    im_a, dx_a, dy_a, im_b = _level_data(img_a, img_b, psz)
+    src = (jnp.asarray(im_a)[None], jnp.asarray(dx_a)[None],
+           jnp.asarray(dy_a)[None])
+    tpl = patch_solver.extract_templates(spec, prm, jnp.asarray(im_a),
+                                         jnp.asarray(dx_a),
+                                         jnp.asarray(dy_a))
+    return prm, spec, im_b, tpl, src
+
+
+def _run_ik(prm, spec, im_b, src, p_init, monkeypatch):
+    """Run optimize_level_batched on the in-kernel-template tiled path
+    (interpret mode)."""
+    from jax.experimental import pallas as pl
+    with monkeypatch.context() as m:
+        orig = pl.pallas_call
+
+        def patched(*args, **kw):
+            kw.setdefault("interpret", True)
+            return orig(*args, **kw)
+
+        m.setattr(pl, "pallas_call", patched)
+        m.setattr(patch_solver, "_use_pallas_bilerp", lambda: True)
+        m.setattr(patch_solver, "_pick_gn_bb", lambda *a, **k: None)
+        geom = patch_solver._pick_tile_geom(spec, prm, inkernel=True)
+        assert geom is not None and geom.ybs > 0
+        return patch_solver.optimize_level_batched.__wrapped__(
+            spec, prm, jnp.asarray(im_b)[None], None, p_init[None],
+            src=src, src_exact=True)
+
+
+@pytest.mark.parametrize("noc,nop,patnorm",
+                         [(1, 2, 1), (1, 1, 1), (3, 2, 1), (1, 2, 0)])
+def test_inkernel_templates_match_xla(monkeypatch, noc, nop, patnorm):
+    prm, spec, im_b, tpl, src = _setup_u8(noc, nop, patnorm)
+    n = spec.nopatches
+    rng = np.random.default_rng(1)
+    p_init = jnp.asarray(rng.normal(0, 1.5, (n, nop)).astype(np.float32))
+    want = _run(prm, spec, im_b, tpl, p_init, "xla", monkeypatch)
+    got = _run_ik(prm, spec, im_b, src, p_init, monkeypatch)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.pweight),
+                               np.asarray(want.pweight),
+                               rtol=1e-3, atol=5e-2)
+
+
+def test_inkernel_fixup_poisoned_tile(monkeypatch):
+    """With in-kernel templates, a bad tile's bounded exact recompute must
+    build the template gathers lazily from the source fields and still
+    match the XLA path everywhere."""
+    h2, w2 = 160, 200
+    prm, spec, im_b, tpl, src = _setup_u8(h=h2, w=w2, seed=3)
+    geom = patch_solver._pick_tile_geom(spec, prm, inkernel=True)
+    assert geom is not None and geom.ybs > 0
+    n = spec.nopatches
+    rng = np.random.default_rng(3)
+    p_init = rng.normal(0, 1.0, (n, 2)).astype(np.float32)
+    perm, _, t_tiles = patch_solver._tile_perm(spec, geom)
+    tile1 = perm[geom.nb:2 * geom.nb]
+    tile1 = tile1[tile1 >= 0]
+    ptr_np = np.asarray(patch_solver.grid_ref_points(spec))
+    lo, hi = float(spec.tmp_lb) + 1.0, float(spec.tmp_ubh) - 1.0
+    p_init[tile1[0], 1] = hi - ptr_np[tile1[0], 1]
+    p_init[tile1[-1], 1] = lo - ptr_np[tile1[-1], 1]
+    p_init = jnp.asarray(p_init)
+    ptr = patch_solver.grid_ref_points(spec).T[None]
+    *_, ok = patch_solver._tile_windows(
+        spec, prm, geom, jnp.swapaxes(p_init, 0, 1)[None], ptr, 1)
+    okm = np.asarray(ok).reshape(-1)
+    assert not okm.all() and okm.sum() >= okm.size - 2
+    want = _run(prm, spec, im_b, tpl, p_init, "xla", monkeypatch)
+    got = _run_ik(prm, spec, im_b, src, p_init, monkeypatch)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.pweight),
+                               np.asarray(want.pweight),
+                               rtol=1e-3, atol=5e-2)
+
+
+def test_inkernel_src_with_knob_disabled(monkeypatch):
+    """OF_DIS_TPU_NO_INKERNEL_TPL=1 with src-only input must fall back to
+    materialized templates (ensure_tpl) on the plain tiled path and match
+    the XLA result."""
+    monkeypatch.setenv("OF_DIS_TPU_NO_INKERNEL_TPL", "1")
+    prm, spec, im_b, tpl, src = _setup_u8()
+    n = spec.nopatches
+    rng = np.random.default_rng(5)
+    p_init = jnp.asarray(rng.normal(0, 1.5, (n, 2)).astype(np.float32))
+    want = _run(prm, spec, im_b, tpl, p_init, "xla", monkeypatch)
+    got = _run_ik(prm, spec, im_b, src, p_init, monkeypatch)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               rtol=1e-4, atol=2e-3)
+
+
+def test_inkernel_geometry_coverage():
+    """Every production mode x op-point fine level must get an in-kernel
+    template geometry (ybs > 0) — a 0 would silently reinstate the
+    template build + tiled-order relayout (~25% of op-3 batch time)."""
+    from of_dis_tpu.params import op_point_params
+    cases = [(3, 1, 2), (3, 3, 2), (3, 1, 1), (4, 1, 2), (4, 3, 2),
+             (4, 1, 1)]
+    for op, noc, nop in cases:
+        prm = op_point_params(1024, op, nop=nop, noc=noc)
+        for sl in (1, 2) if op == 3 else (0, 1):
+            spec = make_level_spec(sl, 1024, 448, prm, camlr=0)
+            geom = patch_solver._pick_tile_geom(spec, prm, inkernel=True)
+            assert geom is not None, (op, noc, nop, sl)
+            assert geom.ybs > 0 and geom.xbs > 0, (op, noc, nop, sl, geom)
