@@ -238,6 +238,12 @@ def main():
         secondary["de_op2_pairs_per_sec"] = _measure(
             pd, based, shiftd, min(batch, 256), 4)
 
+        # depth op-3 (1-D tiled GN fine levels — the regime most sensitive
+        # to the in-kernel template extraction path)
+        pd3 = op_point_params(w_org, 3, nop=1, noc=1, verbosity=0)
+        secondary["de_op3_pairs_per_sec"] = _measure(
+            pd3, based, shiftd, min(batch, 8), 4)
+
     print(json.dumps({
         "metric": "sintel_1024x436_op2_pairs_per_sec",
         "value": round(pairs_per_sec, 2),
