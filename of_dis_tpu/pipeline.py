@@ -58,9 +58,11 @@ def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
     device compute of batch k.
 
     batch=0 picks the measured per-op-point sweet spot: large batches for
-    the coarse op-points (device-bound, amortizes dispatch), 8 for op-3/4
-    — their fine-level glue (cond output relayouts) scales superlinearly
-    with batch on TPU, so op-3 throughput PEAKS near batch 8 (PERF.md).
+    the coarse op-points (device-bound, amortizes dispatch), 16 for op-3
+    and 8 for op-4 — their fine-level glue (cond output relayouts) scales
+    superlinearly with batch on TPU, so op-3 throughput PEAKS near batch
+    16 (281 pairs/s vs 274 @8 and 191 @32 with in-kernel template
+    extraction; PERF.md).
     """
     import jax
     import jax.numpy as jnp
@@ -71,7 +73,7 @@ def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
     from of_dis_tpu.utils import io as uio
 
     if not batch:
-        batch = 8 if op_point >= 3 else 64
+        batch = 8 if op_point >= 4 else (16 if op_point == 3 else 64)
     noc = 3 if "RGB" in mode else 1
     frames = sorted(
         os.path.join(frame_dir, f) for f in os.listdir(frame_dir)

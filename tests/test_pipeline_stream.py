@@ -41,9 +41,9 @@ def test_stream_pipeline(tmp_path):
 
 
 def test_pipeline_default_batch_resolution(tmp_path, monkeypatch):
-    """batch=0 resolves to the measured per-op-point sweet spot (8 for
-    op-3/4, 64 for op-1/2) — asserted by capturing the batch the pipeline
-    actually splits with."""
+    """batch=0 resolves to the measured per-op-point sweet spot (16 for
+    op-3, 8 for op-4, 64 for op-1/2) — asserted by capturing the batch the
+    pipeline actually splits with."""
     seen = {}
     orig = pipeline.run_pipeline
 
@@ -65,8 +65,8 @@ def test_pipeline_default_batch_resolution(tmp_path, monkeypatch):
     monkeypatch.setattr(dis_mod, "dis_flow_batched", spy)
     pipeline.run_pipeline(str(frame_dir), str(out_dir), op_point=3,
                           batch=0, verbose=False)
-    # 2 pairs pad to the resolved batch of 8
-    assert seen["batches"] and all(x == 8 for x in seen["batches"])
+    # 2 pairs pad to the resolved batch of 16
+    assert seen["batches"] and all(x == 16 for x in seen["batches"])
     del orig
 
 
