@@ -54,6 +54,7 @@ def run_pipeline(img_a, img_b, prm, *, sc_f, sc_l, patove, usetvref=True,
     full_h, full_w = img_a.shape[1], img_a.shape[2]
 
     flow = None
+    flow_bw = None
     for sl in range(sc_f, sc_l - 1, -1):
         w = int(full_w * 2.0 ** (-sl))
         h = int(full_h * 2.0 ** (-sl))
@@ -67,6 +68,7 @@ def run_pipeline(img_a, img_b, prm, *, sc_f, sc_l, patove, usetvref=True,
         else:
             p_inits = od.init_from_coarser(pts, flow, w // 2, 2)
         results = []
+        results_full = []
         compl = None
         for (px, py), p0 in zip(pts, p_inits):
             t, gx, gy = od.extract_nn(ia, dxa, dya, px, py, prm.psz, pad,
@@ -75,14 +77,19 @@ def run_pipeline(img_a, img_b, prm, *, sc_f, sc_l, patove, usetvref=True,
             p, pw, pt = od.optimize_patch(ib, t, gx, gy, hes, px, py, p0, prm,
                                           bounds)
             results.append((p, pw))
+            results_full.append((p, pw, pt))
+        results_bw = None
         if usefbcon:
-            # backward grid on image b, target a (oflow.cpp:162-169, 193-196)
+            # backward grid on image b, target a (oflow.cpp:162-169,
+            # 193-196); warm-started from the coarser backward flow, run at
+            # EVERY scale (its converged positions feed the forward merge)
             ia_b, dxa_b, dya_b = (p[sl] for p in pyr_b)
             ib_b = pyr_a[0][sl]
             compl = []
+            results_bw = []
             p_inits_bw = (np.zeros((len(pts), 2), np.float32)
-                          if flow is None or not hasattr(run_pipeline, "_fbw")
-                          else run_pipeline._fbw)
+                          if flow_bw is None
+                          else od.init_from_coarser(pts, flow_bw, w // 2, 2))
             for (px, py), p0 in zip(pts, p_inits_bw):
                 t, gx, gy = od.extract_nn(ia_b, dxa_b, dya_b, px, py, prm.psz,
                                           pad, prm.patnorm)
@@ -90,12 +97,22 @@ def run_pipeline(img_a, img_b, prm, *, sc_f, sc_l, patove, usetvref=True,
                 p, pw, pt = od.optimize_patch(ib_b, t, gx, gy, hes, px, py,
                                               p0, prm, bounds)
                 compl.append((p, pw, pt))
+                results_bw.append((p, pw))
         flow = od.aggregate(w, h, prm.psz, 2, pts, results, compl)
+        if usefbcon and sl > sc_l:
+            # backward aggregation/TV skipped at the last scale
+            # (oflow.cpp:266, 286); the forward results (with their
+            # converged positions) are its complementary grid
+            flow_bw = od.aggregate(w, h, prm.psz, 2, pts, results_bw,
+                                   results_full)
         if usetvref:
             im1 = ia[:, pad:-pad, pad:-pad]
             im2 = pyr_b[0][sl][:, pad:-pad, pad:-pad]
             flow = tv_refine(flow, im1, im2, sl, tv_alpha, tv_gamma, tv_delta,
                              tv_innerit, tv_solverit, tv_sor)
+            if usefbcon and sl > sc_l:
+                flow_bw = tv_refine(flow_bw, im2, im1, sl, tv_alpha, tv_gamma,
+                                    tv_delta, tv_innerit, tv_solverit, tv_sor)
     return flow
 
 
