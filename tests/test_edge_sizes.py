@@ -6,8 +6,6 @@ the same surface through of_dis_tpu.cli and assert the output files come
 back at the input resolution with finite values.
 """
 
-import os
-
 import numpy as np
 import pytest
 

@@ -10,8 +10,6 @@ Budget: the project's <=1% EPE criterion (BASELINE.md), floored at 0.02 px
 for near-zero-flow fields, same as tests/test_e2e.py.
 """
 
-import dataclasses
-
 import numpy as np
 import pytest
 
