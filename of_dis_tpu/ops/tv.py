@@ -217,10 +217,13 @@ def _round_up(x: int, m: int) -> int:
 
 def _pick_warp_bb(b: int, c: int, h: int, w: int, r: int,
                   horiz_only: bool):
-    """Batch block + weight-precompute mode for the fused banded-warp
-    kernel (warp_image_banded_pallas), or None when even one pair's
-    working set busts the VMEM budget (then the caller keeps the XLA
-    banded / MXU routing). Returns (bb, inline_weights)."""
+    """Batch block + weight-precompute mode + row tile for the fused
+    banded-warp kernel (warp_image_banded_pallas), or None when not even
+    a one-pair minimum-row-tile working set fits the VMEM budget (then
+    the caller keeps the XLA banded / MXU routing). Returns
+    (bb, inline_weights, rt) — rt=0 is the whole-frame kernel; rt>0
+    row-tiles big levels (op-3 L1, op-4 L0) that round 3 previously sent
+    to the XLA banded form (~5x off its bandwidth bound at full res)."""
     import os
     if os.environ.get("OF_DIS_TPU_NO_WARP_KERNEL"):
         return None
@@ -236,30 +239,40 @@ def _pick_warp_bb(b: int, c: int, h: int, w: int, r: int,
         return None
     hp8 = h8 if horiz_only else _round_up(h + nsh, 8)
     wpr = _round_up(w + nsh, 128)
-    unit = h8 * w128 * 4
-    a = c * hp8 * wpr * 4
     from of_dis_tpu.ops.patch_solver import _vmem_cap
     # Mosaic's stack peak measured ~2.5x this estimate (the unrolled
     # roll/crop temporaries of the j loop all stay live); the 6MB cap on
     # the ESTIMATE keeps the real peak under the 16MB VMEM stack
     # (measured: op-2 finest level 3.26MB/pair real, bb=4 -> 13M, fits)
     cap = _vmem_cap(6 * 1024 * 1024)
-    for inline in (False, True):
-        # the rolled-slab temporaries carry the channel dim (measured:
-        # noc=3 at (56,128) peaks ~10MB/pair where the c-less estimate
-        # said 3.1 — the g/out accumulators and roll scratch are all
-        # (bb, c, h8, w128))
-        per = nsh * (a + 2 * c * unit) + (0 if inline else nsh * unit)
-        for cand in (8, 4, 2, 1):
-            if b % cand == 0 and cand * per < cap:
-                return cand, inline
+    rt_min = _round_up(nsh, 8)
+    for rt in (0, 64, 48, 32, 24, 16, rt_min):
+        if rt and (rt < rt_min or rt >= h8):
+            continue
+        if rt:
+            rows_s = rt if horiz_only else 2 * rt    # src rows in VMEM
+            unit = rt * w128 * 4
+        else:
+            rows_s = hp8
+            unit = h8 * w128 * 4
+        a = c * rows_s * wpr * 4
+        for inline in (False, True):
+            # the rolled-slab temporaries carry the channel dim (measured:
+            # noc=3 at (56,128) peaks ~10MB/pair where the c-less estimate
+            # said 3.1 — the g/out accumulators and roll scratch are all
+            # (bb, c, rows, w128))
+            per = nsh * (a + 2 * c * unit) + (0 if inline else nsh * unit)
+            for cand in (8, 4, 2, 1) if not rt else (1,):
+                if b % cand == 0 and cand * per < cap:
+                    return cand, inline, rt
     return None
 
 
 def warp_image_banded_pallas(src: jnp.ndarray, wx: jnp.ndarray,
                              wy: jnp.ndarray, r: int, bb: int,
                              horiz_only: bool = False,
-                             inline_weights: bool = False):
+                             inline_weights: bool = False,
+                             rt: int = 0):
     """warp_image_banded as ONE fused Pallas kernel (plus the in-bounds
     mask): the (2r+2)^2 shifted-slab passes run entirely in VMEM.
 
@@ -275,6 +288,13 @@ def warp_image_banded_pallas(src: jnp.ndarray, wx: jnp.ndarray,
     the reference's clamped-index sampling (opticalflow_aux.c:43-54)
     for in-band displacements, exactly like the XLA banded form.
 
+    rt > 0 ROW-TILES the kernel for levels whose whole frame busts VMEM
+    (op-3 L1, op-4 L0): the grid gains a row-block axis of rt output
+    rows (8-aligned, rt >= nsh so that TWO consecutive rt-row source
+    blocks — passed as two BlockSpecs, no manual DMA — cover the
+    [y, y + nsh) halo of every output row in the block). Weights, rolls
+    and accumulation are per-block, bit-identical to the untiled form.
+
     src (B,C,H,W) f32; wx/wy (B,H,W). Returns (out (B,C,H,W), mask
     (B,H,W)) — mask per opticalflow_aux.c:38-42.
     """
@@ -288,18 +308,33 @@ def warp_image_banded_pallas(src: jnp.ndarray, wx: jnp.ndarray,
     sp = jnp.pad(src, ((0, 0), (0, 0),
                        (0, 0) if horiz_only else (r + 1, r + 1),
                        (r + 1, r + 1)), mode="edge")
-    hp8 = _round_up(sp.shape[2], 8) if not horiz_only else h8
+    assert rt == 0 or (rt % 8 == 0 and (horiz_only or rt >= nsh)), rt
+    nrb = 1 if not rt else -(-h8 // rt)
+    if rt:
+        # rows padded so the (ri+1)-th source block of the last program
+        # exists (vertical case reads two consecutive rt-row blocks)
+        hp8 = nrb * rt + (0 if horiz_only else rt)
+    else:
+        hp8 = _round_up(sp.shape[2], 8) if not horiz_only else h8
     wpr = _round_up(sp.shape[3], 128)
     sp = jnp.pad(sp, ((0, 0), (0, 0), (0, hp8 - sp.shape[2]),
                       (0, wpr - sp.shape[3])))
-    wxp = jnp.pad(wx, ((0, 0), (0, h8 - h), (0, w128 - w)))
-    wyp = jnp.pad(wy, ((0, 0), (0, h8 - h), (0, w128 - w)))
+    hf8 = nrb * rt if rt else h8      # padded field/output rows
+    wxp = jnp.pad(wx, ((0, 0), (0, hf8 - h), (0, w128 - w)))
+    wyp = jnp.pad(wy, ((0, 0), (0, hf8 - h), (0, w128 - w)))
+    hb = rt if rt else h8             # output rows per program
+    hs = 2 * rt if (rt and not horiz_only) else hp8  # src rows in VMEM
 
-    def kernel(sp_ref, wx_ref, wy_ref, out_ref, mask_ref):
+    def kernel(*refs):
+        if rt and not horiz_only:
+            sp_ref, sp2_ref, wx_ref, wy_ref, out_ref, mask_ref = refs
+        else:
+            sp_ref, wx_ref, wy_ref, out_ref, mask_ref = refs
         wxv = wx_ref[:]
         wyv = wy_ref[:]
-        gy = jax.lax.broadcasted_iota(jnp.int32, wxv.shape,
-                                      1).astype(jnp.float32)
+        row0 = (pl.program_id(1) * rt) if rt else 0
+        gy = (jax.lax.broadcasted_iota(jnp.int32, wxv.shape, 1)
+              + row0).astype(jnp.float32)
         gx = jax.lax.broadcasted_iota(jnp.int32, wxv.shape,
                                       2).astype(jnp.float32)
         xx = gx + wxv
@@ -307,7 +342,7 @@ def warp_image_banded_pallas(src: jnp.ndarray, wx: jnp.ndarray,
         mask_ref[:] = ((xx >= 0) & (xx <= w - 1) & (yy >= 0)
                        & (yy <= h - 1)).astype(jnp.float32)
         xx0 = jnp.floor(wxv)
-        dxf = (wxv - xx0)[:, None]                   # (bb,1,h8,w128)
+        dxf = (wxv - xx0)[:, None]                   # (bb,1,hb,w128)
         x0i = xx0.astype(jnp.int32)[:, None]
 
         def wx_j(j):
@@ -318,8 +353,8 @@ def warp_image_banded_pallas(src: jnp.ndarray, wx: jnp.ndarray,
 
         wxw = None if inline_weights else [wx_j(j) for j in range(nsh)]
 
-        def xsum(slab):                              # slab (bb,c,h8,wpr)
-            g = jnp.zeros((bb, c, h8, w128), jnp.float32)
+        def xsum(slab):                              # slab (bb,c,hb,wpr)
+            g = jnp.zeros((bb, c, hb, w128), jnp.float32)
             for j in range(nsh):
                 sh = pltpu.roll(slab, (wpr - j) % wpr, 3)[:, :, :, :w128]
                 g = g + (wx_j(j) if inline_weights else wxw[j]) * sh
@@ -332,29 +367,50 @@ def warp_image_banded_pallas(src: jnp.ndarray, wx: jnp.ndarray,
         yy0 = jnp.floor(wyv)
         dyf = (wyv - yy0)[:, None]
         y0i = yy0.astype(jnp.int32)[:, None]
-        s_all = sp_ref[:]
-        out = jnp.zeros((bb, c, h8, w128), jnp.float32)
+        if rt:
+            s_all = jnp.concatenate([sp_ref[:], sp2_ref[:]], axis=2)
+        else:
+            s_all = sp_ref[:]
+        out = jnp.zeros((bb, c, hb, w128), jnp.float32)
         for k in range(nsh):
-            sk = pltpu.roll(s_all, (hp8 - k) % hp8, 2)[:, :, :h8, :]
+            sk = pltpu.roll(s_all, (hs - k) % hs, 2)[:, :, :hb, :]
             wyk = ((1.0 - dyf) * (y0i == (k - r - 1)).astype(jnp.float32)
                    + dyf * (y0i == (k - r - 2)).astype(jnp.float32))
             out = out + wyk * xsum(sk)
         out_ref[:] = out
 
-    spc = pl.BlockSpec((bb, c, hp8, wpr), lambda i: (i, 0, 0, 0),
-                       memory_space=pltpu.VMEM)
-    fld = pl.BlockSpec((bb, h8, w128), lambda i: (i, 0, 0),
-                       memory_space=pltpu.VMEM)
-    outc = pl.BlockSpec((bb, c, h8, w128), lambda i: (i, 0, 0, 0),
-                        memory_space=pltpu.VMEM)
+    if rt:
+        grid = (b // bb, nrb)
+        spc = pl.BlockSpec((bb, c, rt, wpr), lambda i, j: (i, 0, j, 0),
+                           memory_space=pltpu.VMEM)
+        spc2 = pl.BlockSpec((bb, c, rt, wpr),
+                            lambda i, j: (i, 0, j + 1, 0),
+                            memory_space=pltpu.VMEM)
+        fld = pl.BlockSpec((bb, rt, w128), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+        outc = pl.BlockSpec((bb, c, rt, w128), lambda i, j: (i, 0, j, 0),
+                            memory_space=pltpu.VMEM)
+        in_specs = ([spc, fld, fld] if horiz_only
+                    else [spc, spc2, fld, fld])
+    else:
+        grid = (b // bb,)
+        spc = pl.BlockSpec((bb, c, hp8, wpr), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        fld = pl.BlockSpec((bb, h8, w128), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+        outc = pl.BlockSpec((bb, c, h8, w128), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        in_specs = [spc, fld, fld]
+    operands = ((sp, sp, wxp, wyp) if (rt and not horiz_only)
+                else (sp, wxp, wyp))
     out, mask = pl.pallas_call(
         kernel,
-        grid=(b // bb,),
-        out_shape=(jax.ShapeDtypeStruct((b, c, h8, w128), jnp.float32),
-                   jax.ShapeDtypeStruct((b, h8, w128), jnp.float32)),
-        in_specs=[spc, fld, fld],
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((b, c, hf8, w128), jnp.float32),
+                   jax.ShapeDtypeStruct((b, hf8, w128), jnp.float32)),
+        in_specs=in_specs,
         out_specs=(outc, fld),
-    )(sp, wxp, wyp)
+    )(*operands)
     return out[:, :, :h, :w], mask[:, :h, :w]
 
 
@@ -453,13 +509,14 @@ def warp_image_batched(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
         pick = _pick_warp_bb(b_, c_, h_, w_, _BANDED_WARP_R_SMALL,
                              horiz_only)
         if pick is not None:
-            bbw, inline_w = pick
+            bbw, inline_w, rt_w = pick
             small = _use_mxu_warp(b_, c_, h_, w_, horiz_only)
 
             def happy(_):
                 return warp_image_banded_pallas(
                     src, wx, wy, _BANDED_WARP_R_SMALL, bbw,
-                    horiz_only=horiz_only, inline_weights=inline_w)
+                    horiz_only=horiz_only, inline_weights=inline_w,
+                    rt=rt_w)
 
             def fallback(_):
                 coeffs = _warp_coeffs(wx, wy)

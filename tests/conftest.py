@@ -27,3 +27,21 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    The full suite (150+ tests, each jit-compiling full pipelines) crashes
+    deterministically around test #120 with a segfault inside the
+    persistent-cache deserializer (jax 0.9.0 CPU client) — every subset of
+    the suite passes and the cache entries involved read fine in isolation,
+    so it is executable-accumulation state in the client, not a corrupt
+    entry. Dropping jit caches per module keeps the client small; cache
+    files make the re-compiles cheap."""
+    yield
+    import jax as _jax
+    _jax.clear_caches()

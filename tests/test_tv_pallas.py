@@ -153,3 +153,47 @@ def test_warp_batched_pallas_cascade(monkeypatch):
     outw, _ = tv.warp_image_batched(src, wxw, wy, use_pallas=True, bb=1)
     np.testing.assert_allclose(np.asarray(outw), np.asarray(refw),
                                atol=1e-3)
+
+
+@pytest.mark.parametrize("c,h,w,rt", [(1, 28, 40, 16), (3, 40, 140, 16),
+                                      (1, 44, 260, 24)])
+def test_banded_pallas_warp_row_tiled(monkeypatch, c, h, w, rt):
+    """rt > 0 row-tiles the kernel (two consecutive source row-blocks per
+    program); must stay bit-identical to the XLA banded form, including a
+    ragged final row block."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw.setdefault("interpret", True)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    src, wx, wy = _warp_data(c=c, h=h, w=w, seed=11)
+    out, mask = tv.warp_image_banded_pallas(src, wx, wy, r=4, bb=1, rt=rt)
+    xla = tv.warp_image_banded(src, wx, wy, r=4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(xla))
+    _, mask_ref = tv.warp_image_batched(src, wx, wy, use_pallas=False, bb=1)
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask_ref))
+
+
+def test_banded_pallas_warp_row_tiled_horiz(monkeypatch):
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw.setdefault("interpret", True)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    src, wx, _ = _warp_data(h=36, w=150, seed=13)
+    wy = jnp.zeros_like(wx)
+    out, _ = tv.warp_image_banded_pallas(src, wx, wy, r=4, bb=1,
+                                         horiz_only=True, rt=16)
+    # bit-identical to the untiled kernel (the kernel's horiz form already
+    # differs from the XLA banded loop by FMA-contraction ulps)
+    ref, _ = tv.warp_image_banded_pallas(src, wx, wy, r=4, bb=1,
+                                         horiz_only=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    xla = tv.warp_image_banded(src, wx, wy, r=4, horiz_only=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xla), atol=1e-3)
