@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,27 +101,34 @@ def aggregate_flow_dense(spec: LevelSpec, params: DISParams, res: PatchResult,
     u = jnp.asarray(_cover_matrix(h, noph, spec.offseth, spec.steps, psz))
     v = jnp.asarray(_cover_matrix(w, nopw, spec.offsetw, spec.steps, psz))
 
+    # Contract directly against pixw's NATIVE axis order. (P,P,N) with the
+    # column-major patch axis N = ix*noph + iy reshapes for free to
+    # (oy, (ox,ix), iy); interleaving it into the (oy*iy, ox*ix) matrix the
+    # plain mm form wants costs XLA a full relayout copy of each weight
+    # map (~4 ms/batch-16 at the op-3 fine level, device profile r3).
+    # dot_general contracts (oy, iy) jointly instead — no data movement.
     pixw = _pixel_weights(res.pweight)                  # (P,P,N)
-    # T[(oy,iy), (ox,ix)] = pixw[oy, ox, ix*noph+iy]
-    q4 = jnp.transpose(pixw.reshape(psz, psz, nopw, noph),
-                       (0, 3, 1, 2))                    # (P, noph, P, nopw)
-    q = q4.reshape(psz * noph, psz * nopw)
+    q_nat = pixw.reshape(psz, psz * nopw, noph)         # (oy, (ox,ix), iy)
 
-    def mm(a, bm):
-        # full f32: the default TPU matmul precision would truncate the
-        # weight maps to bf16 (the replaced gather-add loop was exact f32)
-        return jnp.matmul(a, bm, precision="highest")
+    # weight map + the nop weighted-flow maps ride one pair of dots:
+    # stack along the (ox,ix) axis -> (oy, (1+nop)*psz*nopw, iy)
+    p4 = res.p.reshape(nopw, noph, nop)                 # (ix, iy, ch)
+    pch_ox = [jnp.broadcast_to(p4[None, :, :, ch], (psz, nopw, noph))
+              .reshape(psz * nopw, noph) for ch in range(nop)]
+    q_all = jnp.concatenate([q_nat]
+                            + [q_nat * p[None] for p in pch_ox], axis=1)
 
-    we2 = mm(mm(u, q), v.T)                             # (H, W)
-    p4 = res.p.reshape(nopw, noph, nop)                 # column-major order
-    chans = []
-    for ch in range(nop):
-        pch = p4[:, :, ch].T                            # (noph, nopw)
-        qf = (q4 * pch[None, :, None, :]).reshape(psz * noph, psz * nopw)
-        chans.append(mm(mm(u, qf), v.T))
-    flow2 = jnp.stack(chans, axis=-1)                   # (H, W, nop)
-    we = we2.reshape(hw)
-    flow = flow2.reshape(hw, nop)
+    hi = jax.lax.Precision.HIGHEST   # full f32: the replaced gather-add
+    u4 = u.reshape(h, psz, noph)     # loop was exact f32
+    # sum_{oy,iy} u4[h,oy,iy] * q_all[oy,k,iy] -> (H, (1+nop)*psz*nopw)
+    b2 = jax.lax.dot_general(u4, q_all, (((1, 2), (0, 2)), ((), ())),
+                             precision=hi)
+    b3 = b2.reshape(h, 1 + nop, psz * nopw)
+    # sum_{ox,ix} b3[h,k,(ox,ix)] * v[w,(ox,ix)] -> (H, 1+nop, W)
+    out = jax.lax.dot_general(b3, v, (((2,), (1,)), ((), ())),
+                              precision=hi)
+    we = out[:, 0, :].reshape(hw)
+    flow = jnp.moveaxis(out[:, 1:, :], 1, 2).reshape(hw, nop)
 
     if compl_res is not None:
         # backward merge (patchgrid.cpp:278-375); bilinear splat at the
