@@ -19,6 +19,8 @@ Golden generation (documented for regeneration): each binary was invoked as
   run_OF_RGB ac.png bc.png of_rgb_op3.flo 3
   run_OF_GRD a.png b.png of_grd_op2.flo 2      # SELECTCHANNEL=2 build
   run_OF_GRD a.png b.png of_grd_op3.flo 3
+  run_DE_INT a.png bs.png de_int_op3.pfm 3
+  run_DE_INT a.png bs.png de_int_l2_fb.pfm 3 1 12 12 0.05 0.95 0 8 0.4 1 1 0 1 10 10 5 1 3 1.6 0
 
 Binaries reproducible via tools/build_reference.sh (the rebuilt run_OF_INT
 regenerates of_int_op2.flo byte-identically).
@@ -88,6 +90,29 @@ def test_de_int_op2(tmp_path):
     _run("run_DE_INT", "a.png", "bs.png", out, ["2", "--quiet"])
     ours = io.read_pfm(out)
     ref = io.read_pfm(os.path.join(G, "de_int_op2.pfm"))
+    ratio = np.abs(ours - ref).mean() / np.abs(ref).mean()
+    assert ratio < 0.01, ratio
+
+
+def test_de_int_op3(tmp_path):
+    """Depth op-point 3 (psz 12 fine levels through the tiled GN kernel):
+    the op-point switch is mode-generic (run_dense.cpp:240-268)."""
+    out = str(tmp_path / "out.pfm")
+    _run("run_DE_INT", "a.png", "bs.png", out, ["3", "--quiet"])
+    ours = io.read_pfm(out)
+    ref = io.read_pfm(os.path.join(G, "de_int_op3.pfm"))
+    ratio = np.abs(ours - ref).mean() / np.abs(ref).mean()
+    assert ratio < 0.01, ratio
+
+
+def test_de_int_fbcon(tmp_path):
+    """Depth + forward-backward merge via the 20-param form: the backward
+    bilinear splat is mode-generic too (patchgrid.cpp:278-375)."""
+    out = str(tmp_path / "out.pfm")
+    _run("run_DE_INT", "a.png", "bs.png", out,
+         "3 1 12 12 0.05 0.95 0 8 0.4 1 1 0 1 10 10 5 1 3 1.6 0".split())
+    ours = io.read_pfm(out)
+    ref = io.read_pfm(os.path.join(G, "de_int_l2_fb.pfm"))
     ratio = np.abs(ours - ref).mean() / np.abs(ref).mean()
     assert ratio < 0.01, ratio
 
