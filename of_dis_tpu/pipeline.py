@@ -1,4 +1,4 @@
-"""Streaming throughput pipeline: directories of frames -> .flo files.
+"""Streaming throughput pipeline: directories of frames -> .flo/.pfm files.
 
 The production serving mode (BASELINE.md config 5): consecutive frame pairs
 of a sequence are batched, decoded on host threads (the native C++ batch
@@ -6,11 +6,23 @@ decoder when built), double-buffered into device memory while the previous
 batch computes, and written out asynchronously. The device never waits on
 the host for steady-state batches.
 
+All four reference modes serve (run_dense.cpp:186-431): run_OF_INT /
+run_OF_RGB write .flo flow, run_DE_INT / run_DE_RGB write .pfm disparity
+(consecutive frames treated as stereo pairs, negated bottom-up payload per
+run_dense.cpp:421 + SavePFMFile).
+
+Multi-chip: pass a `jax.sharding.Mesh` (or --mesh on the CLI) and each
+batch's frame-pair axis is sharded over the mesh's devices — the per-pair
+pipeline runs chip-local with zero hot-path collectives (see
+parallel/mesh.py); host decode/writes stay double-buffered and device_put
+feeds every chip its own shard.
+
 Usage:
   python -m of_dis_tpu.pipeline FRAME_DIR OUT_DIR [--op N] [--batch B]
-      [--mode run_OF_INT|run_OF_RGB] [--ext .flo]
+      [--mode run_OF_INT|run_OF_RGB|run_DE_INT|run_DE_RGB] [--mesh all|N]
 
-Frames are sorted lexicographically; pair t produces OUT_DIR/<frame_t>.flo.
+Frames are sorted lexicographically; pair t produces OUT_DIR/<frame_t>.flo
+(.pfm for depth modes).
 """
 
 from __future__ import annotations
@@ -21,7 +33,7 @@ import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from queue import Queue
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -50,31 +62,47 @@ class _ProducerError:
 
 def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
                  batch: int = 0, mode: str = "run_OF_INT",
-                 verbose: bool = True) -> int:
+                 mesh=None, verbose: bool = True) -> int:
     """Stream a frame directory through the batched DIS pipeline.
 
     Returns the number of frame pairs processed. Batches overlap: host
-    decode of batch k+1 and .flo writes of batch k-1 run concurrently with
-    device compute of batch k.
+    decode of batch k+1 and .flo/.pfm writes of batch k-1 run concurrently
+    with device compute of batch k.
 
     batch=0 picks the measured per-op-point sweet spot: large batches for
     the coarse op-points (device-bound, amortizes dispatch), 16 for op-3
     and 8 for op-4 — their fine-level glue (cond output relayouts) scales
     superlinearly with batch on TPU, so op-3 throughput PEAKS near batch
     16 (281 pairs/s vs 274 @8 and 191 @32 with in-kernel template
-    extraction; PERF.md).
+    extraction; PERF.md). With a mesh, the sweet spot applies PER CHIP
+    (each chip runs its shard's pairs independently), so the resolved
+    batch scales by the mesh size.
+
+    mesh: optional jax.sharding.Mesh with one axis; each batch's leading
+    frame-pair axis is sharded over it (batch is rounded up to a multiple
+    of the mesh size; the ragged tail pads by repetition as before).
     """
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from of_dis_tpu.models import dis
     from of_dis_tpu.ops import pyramid
     from of_dis_tpu.params import op_point_params, pad_amounts
     from of_dis_tpu.utils import io as uio
 
+    if mode not in ("run_OF_INT", "run_OF_RGB", "run_DE_INT", "run_DE_RGB"):
+        raise ValueError(f"unknown pipeline mode {mode}")
+    nop = 1 if "DE" in mode else 2
+    noc = 3 if "RGB" in mode else 1
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
     if not batch:
         batch = 8 if op_point >= 4 else (16 if op_point == 3 else 64)
-    noc = 3 if "RGB" in mode else 1
+        batch *= n_dev
+    if batch % n_dev:
+        batch += n_dev - batch % n_dev
     frames = sorted(
         os.path.join(frame_dir, f) for f in os.listdir(frame_dir)
         if f.lower().endswith((".png", ".pgm", ".ppm", ".jpg", ".jpeg")))
@@ -84,14 +112,30 @@ def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
 
     first = _decode_batch(frames[:1], noc)
     h_org, w_org = first.shape[2], first.shape[3]
-    params = op_point_params(w_org, op_point, nop=2, noc=noc, verbosity=0)
-    top, _, left, _ = pad_amounts(w_org, h_org, params.sc_f)
+    params = op_point_params(w_org, op_point, nop=nop, noc=noc, verbosity=0)
+    top, bot, left, right = pad_amounts(w_org, h_org, params.sc_f)
+    full_h, full_w = h_org + top + bot, w_org + left + right
 
     pairs = list(zip(frames[:-1], frames[1:]))
     batches: List[List] = [pairs[i:i + batch]
                            for i in range(0, len(pairs), batch)]
 
-    pad_fn = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))
+    # one jitted step: divisibility-pad + full pipeline. Padding inside the
+    # jit keeps it sharded on the mesh path (each chip pads its own shard).
+    def _step(a, b):
+        a = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))(a)
+        b = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))(b)
+        return dis.dis_flow_batched(a, b, params, full_w, full_h,
+                                    channels_last=False)
+
+    if mesh is None:
+        fn = jax.jit(_step)
+        put = jnp.asarray
+    else:
+        axis = tuple(mesh.shape.keys())[0]
+        sh = NamedSharding(mesh, P(axis))
+        fn = jax.jit(_step, in_shardings=(sh, sh), out_shardings=sh)
+        put = lambda x: jax.device_put(x, sh)
 
     def host_decode(pair_batch):
         # ship u8 to the device: 4x less transfer, and the pyramid's u8
@@ -120,11 +164,10 @@ def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
     threading.Thread(target=producer, daemon=True).start()
 
     writer = ThreadPoolExecutor(max_workers=4)
-    full_w = full_h = None
-    fn = None
     n_done = 0
     t0 = time.perf_counter()
     pending = []  # (pair_batch, device_output) in flight
+    ext = ".pfm" if nop == 1 else ".flo"
 
     def drain(item):
         nonlocal n_done
@@ -133,8 +176,9 @@ def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
         flows = np.moveaxis(np.asarray(out), 1, 3)  # forces device completion
         for k, (f1, _) in enumerate(pair_batch):
             fl = flows[k, top:top + h_org, left:left + w_org]
-            name = os.path.splitext(os.path.basename(f1))[0] + ".flo"
-            writer.submit(uio.write_flo, os.path.join(out_dir, name), fl)
+            name = os.path.splitext(os.path.basename(f1))[0] + ext
+            write = uio.write_pfm if nop == 1 else uio.write_flo
+            writer.submit(write, os.path.join(out_dir, name), fl)
         n_done += len(pair_batch)
 
     while True:
@@ -152,14 +196,7 @@ def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
             a_np = np.concatenate([a_np, repa])
             b_np = np.concatenate([b_np, np.repeat(b_np[-1:], batch - nb,
                                                    axis=0)])
-        im_a = pad_fn(jnp.asarray(a_np))
-        im_b = pad_fn(jnp.asarray(b_np))
-        if fn is None:
-            full_h, full_w = int(im_a.shape[2]), int(im_a.shape[3])
-            fn = lambda x, y: dis.dis_flow_batched(x, y, params, full_w,
-                                                   full_h,
-                                                   channels_last=False)
-        out = fn(im_a, im_b)[:nb]
+        out = fn(put(a_np), put(b_np))[:nb]
         pending.append((pair_batch, out))
         if len(pending) > 1:     # drain all but the in-flight batch
             drain(pending.pop(0))
@@ -187,6 +224,17 @@ def main(argv=None):
         k = argv.index("--mode")
         kw["mode"] = argv[k + 1]
         del argv[k:k + 2]
+    if "--mesh" in argv:
+        k = argv.index("--mesh")
+        spec = argv[k + 1]
+        del argv[k:k + 2]
+        import jax
+
+        from of_dis_tpu.parallel import mesh as pmesh
+        devs = jax.devices()
+        if spec != "all":
+            devs = devs[:int(spec)]
+        kw["mesh"] = pmesh.make_mesh(devs)
     frame_dir, out_dir = argv[:2]
     run_pipeline(frame_dir, out_dir, **kw)
     return 0

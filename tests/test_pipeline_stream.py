@@ -70,6 +70,65 @@ def test_pipeline_default_batch_resolution(tmp_path, monkeypatch):
     del orig
 
 
+def _write_shift_frames(frame_dir, n_frames, dx, dy, h=96, w=128, seed=0):
+    """Frames whose content translates by (dx, dy) px per step."""
+    rng = np.random.default_rng(seed)
+    big = cv2.GaussianBlur((rng.random((140, 180)) * 255).astype(np.float32),
+                           (9, 9), 2.5)
+    for t in range(n_frames):
+        m = np.float32([[1, 0, dx * t], [0, 1, dy * t]])
+        f = cv2.warpAffine(big, m, (180, 140))[20:20 + h, 20:20 + w]
+        cv2.imwrite(str(frame_dir / f"frame_{t:04d}.png"),
+                    np.clip(f, 0, 255).astype(np.uint8))
+    return h, w
+
+
+def test_stream_pipeline_depth(tmp_path):
+    """Depth serving mode (run_DE_INT): consecutive frames as stereo pairs,
+    .pfm outputs (run_dense.cpp:421). camlr=0 clamps disparity <= 0, so the
+    stream shifts content by -1 px/frame."""
+    frame_dir = tmp_path / "frames"
+    out_dir = tmp_path / "out"
+    frame_dir.mkdir()
+    h, w = _write_shift_frames(frame_dir, 4, dx=-1.0, dy=0.0)
+    n = pipeline.run_pipeline(str(frame_dir), str(out_dir), op_point=1,
+                              batch=2, mode="run_DE_INT", verbose=False)
+    assert n == 3
+    outs = sorted(os.listdir(out_dir))
+    assert outs == [f"frame_{t:04d}.pfm" for t in range(3)]
+    for t in range(3):
+        d = uio.read_pfm(str(out_dir / f"frame_{t:04d}.pfm"))
+        assert d.shape == (h, w)
+        med = np.median(d[16:-16, 16:-16])
+        assert abs(med - (-1.0)) < 0.4, (t, med)
+
+
+def test_stream_pipeline_sharded_matches_single(tmp_path):
+    """Mesh-sharded streaming == single-device streaming, byte-for-byte:
+    the frame-pair axis shards over the 8-device CPU mesh and each device
+    runs the identical per-pair program (parallel/mesh.py design)."""
+    import jax
+
+    from of_dis_tpu.parallel import mesh as pmesh
+
+    frame_dir = tmp_path / "frames"
+    frame_dir.mkdir()
+    _write_shift_frames(frame_dir, 6, dx=1.5, dy=0.5)
+
+    out_single = tmp_path / "out_single"
+    out_mesh = tmp_path / "out_mesh"
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    n1 = pipeline.run_pipeline(str(frame_dir), str(out_single), op_point=1,
+                               batch=8, verbose=False)
+    n2 = pipeline.run_pipeline(str(frame_dir), str(out_mesh), op_point=1,
+                               batch=8, mesh=mesh, verbose=False)
+    assert n1 == n2 == 5
+    for f in sorted(os.listdir(out_single)):
+        a = uio.read_flo(str(out_single / f))
+        b = uio.read_flo(str(out_mesh / f))
+        np.testing.assert_array_equal(a, b, err_msg=f)
+
+
 def test_stream_pipeline_corrupt_frame(tmp_path):
     """A truncated/corrupt frame must fail the run with a clear error, not
     hang the consumer on a dead producer thread (the producer propagates
