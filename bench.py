@@ -244,6 +244,48 @@ def main():
         secondary["de_op3_pairs_per_sec"] = _measure(
             pd3, based, shiftd, min(batch, 8), 4)
 
+        # forward-backward merge at op-2 (BASELINE.md config 3: both
+        # directions optimized per scale + bilinear backward splat)
+        import dataclasses
+        pfb = dataclasses.replace(params, usefbcon=True)
+        secondary["fbcon_op2_pairs_per_sec"] = _measure(
+            pfb, base, shift, min(batch, 64), 4)
+
+        # 1080p op-2 (frames >Sintel: the row-tiled banded warp and the
+        # tiled GN windows at full-HD level sizes)
+        bhd = min(batch, 32)
+        base_hd, shift_hd = _make_pairs(rng, bhd, 1080, 1920)
+        p2hd = op_point_params(1920, 2, nop=2, noc=1, verbosity=0)
+        secondary["op2_1080p_pairs_per_sec"] = _measure(
+            p2hd, base_hd, shift_hd, bhd, 3)
+
+        # sequence mode at op-3: S streams in lockstep, the scan carrying
+        # warm starts (run_dense.cpp:356-379's init-flow hook)
+        s_n, t_n = 4, 9
+        u1, v1 = _flow_field(h_org, w_org)
+        seq = np.stack([
+            np.clip(np.rint(_warp_pairs(base[:s_n], k * u1, k * v1)),
+                    0, 255).astype(np.uint8) for k in range(t_n)])
+        p3s = op_point_params(w_org, 3, nop=2, noc=1, verbosity=0)
+        fr = jax.vmap(jax.vmap(
+            lambda x: pyramid.pad_to_divisible(x, p3s.sc_f)))(
+            jnp.asarray(seq))
+        fh, fw = int(fr.shape[3]), int(fr.shape[4])
+
+        @jax.jit
+        def seq_step(x, chk):
+            out = dis.dis_sequence_batched(x, p3s, fw, fh)
+            return chk + jnp.sum(out[:, :, :, ::64, ::64])
+
+        _sync(seq_step(fr, jnp.zeros((), jnp.float32)))
+        t0 = time.perf_counter()
+        chk = jnp.zeros((), jnp.float32)
+        for _ in range(2):
+            chk = seq_step(fr, chk)
+        _sync(chk)
+        secondary["seq_op3_pairs_per_sec"] = round(
+            s_n * (t_n - 1) * 2 / (time.perf_counter() - t0), 2)
+
     print(json.dumps({
         "metric": "sintel_1024x436_op2_pairs_per_sec",
         "value": round(pairs_per_sec, 2),

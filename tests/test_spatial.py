@@ -112,6 +112,49 @@ def test_model_level_spatial_tv_dispatch():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_model_spatial_tv_dispatch_1080p_level():
+    """The model's _tv_refine dispatch at a full-HD (1920x1080) level on
+    the 8-device CPU mesh: frames >Sintel-size are the regime the spatial
+    path exists for (SURVEY.md §5 long-context analogue). Must match the
+    unsharded kernel on the same level."""
+    import jax
+    from of_dis_tpu.models import dis
+    from of_dis_tpu.params import DISParams, make_level_spec
+
+    h, w = 1080, 1920
+    params = DISParams(sc_f=0, sc_l=0, max_iter=1, min_iter=1, p_samp_s=8,
+                       patove=0.4, noc=1, nop=2, usetvref=True,
+                       tv_innerit=1, tv_solverit=3)
+    spec = make_level_spec(0, w, h, params, camlr=0)
+    p = spec.pad
+    rng = np.random.default_rng(7)
+    im_a = jnp.asarray(rng.random((1, 1, h + 2 * p, w + 2 * p)),
+                       jnp.float32) * 255
+    im_b = jnp.asarray(rng.random((1, 1, h + 2 * p, w + 2 * p)),
+                       jnp.float32) * 255
+    flow = jnp.asarray(rng.standard_normal((1, h, w, 2)), jnp.float32)
+
+    want = dis._tv_refine(flow, im_a, im_b, spec, params, camlr=0)
+    # 4 devices: 270 rows/shard. An 8-device mesh gives 135 (odd) rows per
+    # shard, which breaks red-black parity — the route must REJECT it
+    # rather than crash at trace time (regression guard below).
+    mesh8 = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    dis.set_spatial_tv_mesh(mesh8, min_bytes=64 << 20)
+    try:
+        assert dis._spatial_tv_route(1, h, w, 2) is None
+    finally:
+        dis.set_spatial_tv_mesh(None)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("rows",))
+    dis.set_spatial_tv_mesh(mesh, min_bytes=64 << 20)
+    try:
+        assert dis._spatial_tv_route(1, h, w, 2) is mesh
+        got = dis._tv_refine(flow, im_a, im_b, spec, params, camlr=0)
+    finally:
+        dis.set_spatial_tv_mesh(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)
+
+
 def test_spatial_mesh_registration_drops_jit_caches():
     """The spatial-TV route is trace-time state: registering/clearing the
     mesh must drop the jitted entry points' caches so a same-shape call
