@@ -29,14 +29,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from of_dis_tpu.ops.patch_solver import PatchResult
-from of_dis_tpu.params import DISParams, LevelSpec, MINERRVAL
+from of_dis_tpu.params import DISParams, LevelSpec
 
 
 def _pixel_weights(pweight: jnp.ndarray) -> jnp.ndarray:
-    """(P,P,C,N) residual weights -> (P,P,N) per-pixel splat weight
-    1/max(2,res) (gray) or 1/sum_c max(2,res_c) (RGB); patchgrid.cpp:253-260."""
-    clamped = jnp.maximum(pweight, MINERRVAL)
-    return 1.0 / jnp.sum(clamped, axis=2)
+    """(P,P,N) pre-clamped channel-summed denominators (built inside the
+    solver backends: sum_c max(res_c, MINERRVAL), see PatchResult.pweight;
+    patchgrid.cpp:253-260) -> per-pixel splat weight 1/den."""
+    return 1.0 / pweight
 
 
 def _axis_slots(size: int, n_axis: int, off: int, steps: int, psz: int):

@@ -61,7 +61,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from of_dis_tpu.params import (COST_HUBER, COST_L1, COST_L2, DISParams,
-                               LevelSpec, NORMOUTLIER, grid_points)
+                               LevelSpec, MINERRVAL, NORMOUTLIER, grid_points)
 
 
 class PatchTemplates(NamedTuple):
@@ -79,7 +79,13 @@ class PatchResult(NamedTuple):
     """Per-level optimization result (inputs to densification)."""
     p: jnp.ndarray        # (N, nop) final displacement parameters
     pt: jnp.ndarray       # (N, 2) final patch position (pt_ref + displacement)
-    pweight: jnp.ndarray  # (P, P, C, N) final absolute-error weights
+    # (P, P, N) per-pixel splat-weight DENOMINATORS sum_c max(w_c, MINERRVAL)
+    # (patchgrid.cpp:253-260 — the clamp precedes the channel sum; densify
+    # divides). Folding the clamp-sum into the solver backends shrinks the
+    # RGB kernels' pweight carry and output 3x; the transform is
+    # idempotent (every value >= MINERRVAL), so downstream math is
+    # bit-identical to clamping raw weights there.
+    pweight: jnp.ndarray
     # () diagnostic: the number of Gauss-Newton iterations that ran with at
     # least one active patch — the XLA while-loop's trip count. The fused /
     # tiled Pallas kernels carry the same counter through their masked
@@ -384,6 +390,18 @@ def loss_error_image(diff: jnp.ndarray, costfct: int) -> Tuple[jnp.ndarray, jnp.
     return jnp.zeros_like(diff), jnp.zeros_like(diff)
 
 
+def _pw_dense(pw: jnp.ndarray, psz: int, noc: int) -> jnp.ndarray:
+    """Raw per-element cost weights (..., D, N) with D = (j, i, c) -> the
+    densify splat-weight denominator (..., psz*psz, N): sum_c max(w_c,
+    MINERRVAL) per pixel (patchgrid.cpp:253-260). Runs inside the kernels
+    (leading-dim reshape + sublane reduce, both Mosaic-legal)."""
+    if noc == 1:
+        return jnp.maximum(pw, MINERRVAL)
+    shp = pw.shape
+    p3 = pw.reshape(shp[:-2] + (psz * psz, noc, shp[-1]))
+    return jnp.sum(jnp.maximum(p3, MINERRVAL), axis=-2)
+
+
 def _solve_step(hes: jnp.ndarray, rhs: jnp.ndarray, nop: int) -> jnp.ndarray:
     """Closed-form SPD solve of H dp = rhs (Eigen .llt().solve, patch.cpp:182).
 
@@ -476,7 +494,9 @@ def _pick_gn_bb(b: int, w1: int, c: int, hpb: int, wp: int, d: int, n: int,
            + 2 * nt * c * hpb * wp * 2   # raw plane block (double-buffered)
            + 2 * w1 * c * hpb * n * 4    # t + shifted copies (transient)
            + (w1 * c * wb * n * 4 if use_cache else 0)  # cached rows (carry)
-           + 7 * d * n * 4)              # tmpl/tdx/tdy + carry + outputs
+           # tmpl/tdx/tdy + transients (d-sized) + pweight carry/outputs
+           # (channel-summed psz*psz = d//c rows, see _pw_dense)
+           + (5 * d + 2 * (d // c)) * n * 4)
     cap = _vmem_cap(10 * 1024 * 1024)
     for cand in (8, 4, 2, 1):
         if b % cand == 0 and cand * per < cap:
@@ -504,7 +524,7 @@ def _pick_gn_nb(w1: int, c: int, hpb: int, wp: int, d: int, n: int,
         per = (planes
                + 2 * w1 * c * hpb * nb * 4
                + (w1 * c * wb * nb * 4 if use_cache else 0)
-               + 7 * d * nb * 4)
+               + (5 * d + 2 * (d // c)) * nb * 4)
         if per < cap:
             return nb
     return None
@@ -559,6 +579,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
     nterms = wp2 // spec.padded_width      # 2, or 3 in exact-extract mode
     wp = wp2 // nterms
     d = tpl.tmpl.shape[1]
+    psz2 = psz * psz                       # pweight output rows (channel-summed)
     n_tot = tpl.tmpl.shape[2]
     n = nb or n_tot      # patch-block width (the whole grid when nb == 0)
     nh = tpl.hes.shape[1]
@@ -707,9 +728,13 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
             # carry the (nop, n) steepest-descent projection instead of the
             # (D, n) pdiff it contracts from: the per-lane active mask
             # commutes with the within-lane contraction (bit-exact), saving
-            # a (D, n) masked select per iteration + D*n*4 carry bytes
-            return rhs_of(pdiff), pweight, mares, ((av, sxy) if use_cache
-                                                   else None)
+            # a (D, n) masked select per iteration + D*n*4 carry bytes.
+            # pweight: multi-channel is carried pre-clamp-summed (psz*psz,
+            # n) — see PatchResult — while noc==1 defers the (commuting)
+            # clamp to the output write, off the iteration loop
+            pwd = pweight if c == 1 else _pw_dense(pweight, psz, c)
+            return (rhs_of(pdiff), pwd, mares,
+                    ((av, sxy) if use_cache else None))
 
         def rhs_of(pd):
             r0 = jnp.sum(tdx * pd, axis=1)
@@ -729,7 +754,8 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
         # init-OOB patches take the raw template as their pdiff
         # (documented deviation, matching the XLA path)
         rhs0 = jnp.where(m0, rhs_of(tmpl), rhs0)
-        pweight0 = jnp.where(m0, tmpl_pw, pweight0)
+        pweight0 = jnp.where(
+            m0, tmpl_pw if c == 1 else _pw_dense(tmpl_pw, psz, c), pweight0)
         active0 = ((~init_oob) & (params.max_iter > 0)
                    & (mares0 > params.res_thresh))
 
@@ -790,7 +816,8 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                   jnp.float32(0.0)) + ((cache0,) if use_cache else ())
         out = _masked_gn_loop(params.max_iter, body, carry0)
         po_ref[:] = out[0]
-        pw_ref[:] = out[2]
+        pw_ref[:] = (jnp.maximum(out[2], MINERRVAL) if c == 1    # deferred
+                     else out[2])                                # clamp
         # whole-array SMEM block shared across grid steps (a (1,1) block
         # would violate the (8,128) block-divisibility rule): each program
         # writes its own column
@@ -807,6 +834,8 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                                memory_space=pltpu.VMEM)
         blk_d = pl.BlockSpec((1, d, n), lambda j: (0, 0, j),
                              memory_space=pltpu.VMEM)
+        blk_pwo = pl.BlockSpec((1, psz2, n), lambda j: (0, 0, j),
+                               memory_space=pltpu.VMEM)
         blk_h = pl.BlockSpec((1, nh, n), lambda j: (0, 0, j),
                              memory_space=pltpu.VMEM)
         blk_p = pl.BlockSpec((1, nop, n), lambda j: (0, 0, j),
@@ -824,11 +853,11 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                 grid=(n_tot // n,),
                 out_shape=(
                     jax.ShapeDtypeStruct((1, nop, n_tot), jnp.float32),
-                    jax.ShapeDtypeStruct((1, d, n_tot), jnp.float32),
+                    jax.ShapeDtypeStruct((1, psz2, n_tot), jnp.float32),
                     jax.ShapeDtypeStruct((1, n_tot // n), jnp.int32)),
                 in_specs=[blk_lhs, blk_d, blk_d, blk_d, blk_h, blk_p,
                           blk_ptr],
-                out_specs=(blk_p, blk_d, blk_it),
+                out_specs=(blk_p, blk_pwo, blk_it),
                 scratch_shapes=[pltpu.VMEM((1, m_rows, wp2),
                                            jnp.bfloat16)],
             )(l1[None], tm1[None], tx1[None], ty1[None], he1[None],
@@ -843,6 +872,8 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                            memory_space=pltpu.VMEM)
     blk_d = pl.BlockSpec((bb, d, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
+    blk_pwo = pl.BlockSpec((bb, psz2, n), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
     blk_h = pl.BlockSpec((bb, nh, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     blk_p = pl.BlockSpec((bb, nop, n), lambda i: (i, 0, 0),
@@ -855,11 +886,11 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
         kernel,
         grid=(b // bb,),
         out_shape=(jax.ShapeDtypeStruct((b, nop, n_tot), jnp.float32),
-                   jax.ShapeDtypeStruct((b, d, n_tot), jnp.float32),
+                   jax.ShapeDtypeStruct((b, psz2, n_tot), jnp.float32),
                    jax.ShapeDtypeStruct((1, b // bb), jnp.int32)),
         in_specs=[blk_lhs, blk_d, blk_d, blk_d, blk_h, blk_p,
                   blk_ptr],
-        out_specs=(blk_p, blk_d, blk_it),
+        out_specs=(blk_p, blk_pwo, blk_it),
         scratch_shapes=[pltpu.VMEM((bb, m_rows, wp2), jnp.bfloat16)],
     )(lhs, tpl.tmpl, tpl.tdx, tpl.tdy, tpl.hes, p_init_t,
       pt_ref_t)
@@ -904,6 +935,7 @@ class _TileGeom(NamedTuple):
 # inference crashes joining rank-1 layouts once nb spans two vregs.
 _TILE_CANDIDATES = ((32, 8, 256, 64), (32, 8, 256, 72), (32, 8, 256, 80),
                     (64, 4, 384, 56), (16, 16, 256, 96),
+                    (24, 8, 256, 64), (24, 8, 256, 72),
                     (16, 8, 256, 64), (16, 8, 256, 72), (16, 8, 256, 80),
                     (32, 4, 256, 56), (32, 4, 384, 56),
                     (64, 2, 384, 48), (128, 1, 512, 40))
@@ -968,16 +1000,27 @@ def _pick_tile_geom(spec: LevelSpec, params: DISParams,
                 ybs_c = _round_up((ty - 1) * steps + 7 + wbnd, 8)
                 if xbs_c <= xb and ybs_c <= yb:
                     ybs, xbs = ybs_c, xbs_c
+            # channel-major per-channel staging (see _gn_tiled_pallas):
+            # RGB two-stage programs extract one channel at a time, so the
+            # big x-dot result and band temporaries are 1/noc-sized — this
+            # is what admits nb=256 tiles for noc=3
+            cm = two_stage and noc > 1
+            w1t = w1 if cm else w1c              # per-dot row group
             if ybs:
                 # tmpl/tdx/tdy live as values (no double-buffered input
                 # blocks); t_src is the source x-dot temporary
-                tpl_bytes = 3 * d * nb * 4 + w1c * ybs * nb * 4
+                tpl_bytes = 3 * d * nb * 4 + w1t * ybs * nb * 4
             else:
                 tpl_bytes = 2 * 3 * d * nb * 4  # blocked tmpl/tdx/tdy (x2)
+            if cm:
+                # patch/pdiff/lerp transients (d-sized) + channel-summed
+                # pweight carry/outputs (d//noc, see _pw_dense)
+                trans = (3 * d + 3 * (d // noc)) * nb * 4
+            else:
+                trans = (7 * d + 3 * (d // noc)) * nb * 4
             common = (nt * w1c * yb * xb * 2     # shifted-win scratch (bf16)
                       + nt * noc * yb * (xb + 128) * 2  # raw DMA window
-                      + tpl_bytes
-                      + 10 * d * nb * 4)        # carry + outputs + temps
+                      + tpl_bytes + trans)
             if not two_stage:
                 k = nbands * nt * xb
                 est = (common
@@ -987,8 +1030,9 @@ def _pick_tile_geom(spec: LevelSpec, params: DISParams,
             else:
                 est = (common
                        + xb * nb * 2            # x one-hot (bf16)
-                       + w1c * yb * nb * 4      # t (x-dot result)
-                       + 2 * w1c * wbnd * nb * 4)  # band-selected + aligned
+                       + w1t * yb * nb * 4      # t (x-dot result, per chan)
+                       + 2 * w1t * wbnd * nb * 4  # band-selected + aligned
+                       + (w1c * (psz + 1) * nb * 4 if cm else 0))  # cache a
             if est > cap:
                 continue
             # over-pad by one full window so the clip of xs/ys to
@@ -1158,6 +1202,15 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
     nh = 3 if nop == 2 else 1
     ybs, xbs = geom.ybs, geom.xbs
     novals = float(params.novals)
+    # channel-major per-channel staging for multi-channel two-stage tiles:
+    # one x-dot + band-select + roll PER CHANNEL keeps the big (w1*yb, nb)
+    # x-dot result and band temporaries 1/noc-sized, which is what fits
+    # noc=3 into the wide nb=256 tiles (VMEM budget in _pick_tile_geom).
+    # The kernel-internal patch element order becomes D' = (c, i, j) —
+    # templates are extracted (or host-reordered) to match, the GN
+    # reductions are order-agnostic, and the (i, j)-ordered pweight is
+    # transposed to the interface's (j, i) once after the loop.
+    cm = geom.two_stage and noc > 1
 
     def kernel(*refs):
         if inkernel:
@@ -1201,25 +1254,44 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 for h in range(nterms):
                     for s in range(w1):
                         for ch in range(noc):
-                            win[h, s * noc + ch, :ybs, :xbs] = \
+                            row = (ch * w1 + s) if cm else (s * noc + ch)
+                            win[h, row, :ybs, :xbs] = \
                                 wdma[h, ch, :ybs, s:s + xbs]
+
+                def band_align(t3b):
+                    tb = jnp.zeros((t3b.shape[0], wbnd, nb), jnp.float32)
+                    for band in range(nbands_s):
+                        m = (band_s == band)[None]
+                        tb = tb + jnp.where(
+                            m, t3b[:, 8 * band:8 * band + wbnd, :], 0.0)
+                    a = tb
+                    for bit in range(3):
+                        amt = 1 << bit
+                        rolled = pltpu.roll(a, (wbnd - amt) % wbnd, 1)
+                        m = (jnp.bitwise_and(jax.lax.shift_right_logical(
+                            s3_s, bit), 1) == 1)[None]
+                        a = jnp.where(m, rolled, a)
+                    return a
+
+                if cm:
+                    # per channel: x-dot + band/roll; integer anchors mean
+                    # shifts 0..psz-1 are columns i, rows 0..psz-1 are j
+                    chans = []
+                    for ch in range(noc):
+                        t = sum(jnp.dot(
+                            win[h, ch * w1:(ch + 1) * w1, :ybs, :xbs]
+                            .reshape(w1 * ybs, xbs), xh_s,
+                            preferred_element_type=jnp.float32)
+                            for h in range(nterms))
+                        a = band_align(t.reshape(w1, ybs, nb))
+                        chans.append(
+                            a[:psz, :psz, :].reshape(psz * psz, nb))
+                    return jnp.concatenate(chans, axis=0)   # D' = (c, i, j)
                 t = sum(jnp.dot(
                     win[h, :, :ybs, :xbs].reshape(w1c * ybs, xbs), xh_s,
                     preferred_element_type=jnp.float32)
                     for h in range(nterms))
-                t3b = t.reshape(w1c, ybs, nb)
-                tb = jnp.zeros((w1c, wbnd, nb), jnp.float32)
-                for band in range(nbands_s):
-                    m = (band_s == band)[None]
-                    tb = tb + jnp.where(
-                        m, t3b[:, 8 * band:8 * band + wbnd, :], 0.0)
-                a = tb
-                for bit in range(3):
-                    amt = 1 << bit
-                    rolled = pltpu.roll(a, (wbnd - amt) % wbnd, 1)
-                    m = (jnp.bitwise_and(jax.lax.shift_right_logical(
-                        s3_s, bit), 1) == 1)[None]
-                    a = jnp.where(m, rolled, a)
+                a = band_align(t.reshape(w1c, ybs, nb))
                 # integer anchors: rows j / shifts 0..psz-1 ARE the patch
                 parts = []
                 for j in range(psz):
@@ -1259,13 +1331,15 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
         dma.start()
         dma.wait()
         # build the w1 column-shifted copies in VMEM (win[h, s*noc+ch] =
-        # window shifted left by s): one DMA of the raw window instead of
-        # w1 HBM plane copies — the lane-offset slices are cheap VPU work
-        # paid once per program, amortized over the GN iterations
+        # window shifted left by s; channel-major ch*w1+s in cm mode): one
+        # DMA of the raw window instead of w1 HBM plane copies — the
+        # lane-offset slices are cheap VPU work paid once per program,
+        # amortized over the GN iterations
         for h in range(nterms):
             for s in range(w1):
                 for ch in range(noc):
-                    win[h, s * noc + ch] = wdma[h, ch, :, s:s + xb]
+                    row = (ch * w1 + s) if cm else (s * noc + ch)
+                    win[h, row] = wdma[h, ch, :, s:s + xb]
         if not geom.two_stage:
             for band in range(nbands):
                 for h in range(nterms):
@@ -1300,31 +1374,47 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             s3 = jnp.bitwise_and(sy, 7)                     # (1, nb)
             xh = (colsx == sx).astype(jnp.bfloat16)
             if geom.two_stage:
+                def band_align(t3b):
+                    # stage 2a: 8-aligned band selection as masked adds
+                    tb = jnp.zeros((t3b.shape[0], wbnd, nb), jnp.float32)
+                    for band in range(nbands):
+                        m = (band_i == band)[None]
+                        tb = tb + jnp.where(
+                            m, t3b[:, 8 * band:8 * band + wbnd, :], 0.0)
+                    # stage 2b: in-band alignment a[:,j,:] = tb[:,s3+j,:]
+                    # as a 3-bit conditional roll — measured faster than
+                    # the 8-way masked adds HERE (w1c is 3x larger than
+                    # the INT single-stage kernel's, so fewer bigger ops
+                    # win; on the single-stage kernel masked adds win ~2%)
+                    a = tb
+                    for bit in range(3):
+                        amt = 1 << bit
+                        rolled = pltpu.roll(a, (wbnd - amt) % wbnd, 1)
+                        m = (jnp.bitwise_and(jax.lax.shift_right_logical(
+                            s3, bit), 1) == 1)[None]
+                        a = jnp.where(m, rolled, a)
+                    return a
+
+                if cm:
+                    # per-channel staging: x-dot + band/roll per channel
+                    # (1/noc-sized temporaries); concatenated cache rows
+                    # are channel-major (noc*w1, psz+1, nb)
+                    chans = []
+                    for ch in range(noc):
+                        t = sum(jnp.dot(
+                            win[h, ch * w1:(ch + 1) * w1].reshape(
+                                w1 * yb, xb), xh,
+                            preferred_element_type=jnp.float32)
+                            for h in range(nterms))
+                        a = band_align(t.reshape(w1, yb, nb))
+                        chans.append(a[:, :psz + 1, :])
+                    return jnp.concatenate(chans, axis=0)
                 # stage 1: x-only extraction dot over the whole window
                 # (M = w1c*yb, K = xb per term plane) — no banded lhs
                 t = sum(jnp.dot(win[h].reshape(w1c * yb, xb), xh,
                                 preferred_element_type=jnp.float32)
                         for h in range(nterms))
-                t3b = t.reshape(w1c, yb, nb)
-                # stage 2a: 8-aligned band selection as masked adds
-                tb = jnp.zeros((w1c, wbnd, nb), jnp.float32)
-                for band in range(nbands):
-                    m = (band_i == band)[None]
-                    tb = tb + jnp.where(
-                        m, t3b[:, 8 * band:8 * band + wbnd, :], 0.0)
-                # stage 2b: in-band alignment a[:, j, :] = tb[:, s3 + j, :]
-                # as a 3-bit conditional roll — measured faster than the
-                # 8-way masked adds HERE (w1c is 3x larger than the INT
-                # single-stage kernel's, so fewer bigger ops win; on the
-                # single-stage kernel the masked adds win by ~2%)
-                a = tb
-                for bit in range(3):
-                    amt = 1 << bit
-                    rolled = pltpu.roll(a, (wbnd - amt) % wbnd, 1)
-                    m = (jnp.bitwise_and(jax.lax.shift_right_logical(
-                        s3, bit), 1) == 1)[None]
-                    a = jnp.where(m, rolled, a)
-                return a[:, :psz + 1, :]
+                return band_align(t.reshape(w1c, yb, nb))[:, :psz + 1, :]
             # joint (band, term, x) one-hot as a product of two small
             # one-hots (every term plane carries the same x one-hot)
             bh = (colsb == band_i).astype(jnp.bfloat16)
@@ -1366,23 +1456,36 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 same = jnp.all((~active) | (sxy == sxyp))
                 a = jax.lax.cond(same, lambda _: a_prev,
                                  lambda _: select_rows(sx, sy), None)
-            rows = [a[:, j, :] for j in range(psz + 1)]
-            ryk = ry
-            rxk = rx[None]
-            parts = []
-            for j in range(psz):
-                wyj = (1.0 - ryk) * rows[j] + ryk * rows[j + 1]
-                wyj = wyj.reshape(w1, noc, nb)
-                pxj = (1.0 - rxk) * wyj[:psz] + rxk * wyj[1:]
-                parts.append(pxj.reshape(psz * noc, nb))
-            patch = jnp.concatenate(parts, axis=0)      # (D, nb)
+            if cm:
+                # vectorized bilerp over the channel-major cache: ONE
+                # y-lerp + ONE x-lerp over (noc, w1, psz, nb) instead of
+                # psz small per-j ops; patch order D' = (c, i, j)
+                a4 = a.reshape(noc, w1, psz + 1, nb)
+                ry4 = ry[None, None]                    # (1, 1, 1, nb)
+                rx4 = rx[None, None]
+                ay = (1.0 - ry4) * a4[:, :, :psz, :] + ry4 * a4[:, :, 1:, :]
+                px = (1.0 - rx4) * ay[:, :psz] + rx4 * ay[:, 1:]
+                patch = px.reshape(psz * psz * noc, nb)
+            else:
+                rows = [a[:, j, :] for j in range(psz + 1)]
+                ryk = ry
+                rxk = rx[None]
+                parts = []
+                for j in range(psz):
+                    wyj = (1.0 - ryk) * rows[j] + ryk * rows[j + 1]
+                    wyj = wyj.reshape(w1, noc, nb)
+                    pxj = (1.0 - rxk) * wyj[:psz] + rxk * wyj[1:]
+                    parts.append(pxj.reshape(psz * noc, nb))
+                patch = jnp.concatenate(parts, axis=0)  # (D, nb)
             if params.patnorm > 0:
                 patch = patch - patch.mean(axis=0, keepdims=True)
             pdiff, pweight = loss_error_image(patch - tmpl, params.costfct)
             mares = jnp.sum(pweight, axis=0, keepdims=True)  # (1, nb)
             # carry the (nop, nb) projection, not the (D, nb) pdiff (see
-            # the fused kernel: bit-exact, smaller carry, one less big sel)
-            return rhs_of(pdiff), pweight, mares / novals, (a, sxy)
+            # the fused kernel: bit-exact, smaller carry, one less big
+            # sel); pweight pre-clamp-summed (psz*psz, nb), see PatchResult
+            return (rhs_of(pdiff), pw_dense_k(pweight),
+                    mares / novals, (a, sxy))
 
         def rhs_of(pd):
             r0 = jnp.sum(tdx * pd, axis=0, keepdims=True)
@@ -1390,6 +1493,19 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 return jnp.concatenate(
                     [r0, jnp.sum(tdy * pd, axis=0, keepdims=True)], axis=0)
             return r0
+
+        def pw_dense_k(pw):
+            # clamp-summed per-pixel denominator for this kernel's element
+            # order. cm: per-iteration (the 1/noc carry shrink is the
+            # point); noc==1: identity here — the clamp commutes with the
+            # lane-select carry update, so it runs ONCE on the final carry
+            # at the output write instead of every iteration
+            if cm:
+                return jnp.sum(jnp.maximum(
+                    pw.reshape(noc, psz * psz, nb), MINERRVAL), axis=0)
+            if noc == 1:
+                return pw
+            return _pw_dense(pw, psz, noc)
 
         pt0 = to_pt(p_init)
         init_oob = oob(pt0)                              # (1, nb)
@@ -1400,7 +1516,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                                                      None)
         _, tmpl_pw = loss_error_image(tmpl, params.costfct)
         rhs0 = jnp.where(init_oob, rhs_of(tmpl), rhs0)
-        pweight0 = jnp.where(init_oob, tmpl_pw, pweight0)
+        pweight0 = jnp.where(init_oob, pw_dense_k(tmpl_pw), pweight0)
         active0 = ((~init_oob) & (params.max_iter > 0)
                    & (mares0 > params.res_thresh))
 
@@ -1449,11 +1565,22 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                   jnp.float32(0.0), cache0)
         out = _masked_gn_loop(params.max_iter, body, carry0)
         po_ref[0] = out[0]
-        pw_ref[0] = out[2]
+        if cm:
+            # kernel-internal pixel order is (i, j); the interface wants
+            # (j, i) — transpose once per program (psz slice-concats)
+            pwij = out[2].reshape(psz, psz, nb)
+            pw_ref[0] = jnp.concatenate(
+                [pwij[:, jj, :] for jj in range(psz)], axis=0)
+        elif noc == 1:
+            pw_ref[0] = jnp.maximum(out[2], MINERRVAL)  # deferred clamp
+        else:
+            pw_ref[0] = out[2]
         it_ref[bi_, ti_] = out[6].astype(jnp.int32)
 
     blk_d = pl.BlockSpec((1, d, nb), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM)
+    blk_pwo = pl.BlockSpec((1, psz * psz, nb), lambda i, j: (i, 0, j),
+                           memory_space=pltpu.VMEM)
     blk_h = pl.BlockSpec((1, nh, nb), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM)
     blk_p = pl.BlockSpec((1, nop, nb), lambda i, j: (i, 0, j),
@@ -1487,10 +1614,10 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
         kernel,
         grid=(b, t_tiles),
         out_shape=(jax.ShapeDtypeStruct((b, nop, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((b, d, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((b, psz * psz, n_pad), jnp.float32),
                    jax.ShapeDtypeStruct((b, t_tiles), jnp.int32)),
         in_specs=in_specs,
-        out_specs=(blk_p, blk_d, blk_it),
+        out_specs=(blk_p, blk_pwo, blk_it),
         scratch_shapes=(
             [pltpu.VMEM((nterms, noc, yb, xb + 128), jnp.bfloat16),
              pltpu.VMEM((nterms, w1c, yb, xb), jnp.bfloat16)]
@@ -1607,8 +1734,21 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             take = lambda x: _tile_fwd(x, spec, geom)
             tpl_p = PatchTemplates(take(tpl.tmpl), take(tpl.tdx),
                                    take(tpl.tdy), take(tpl.hes))
+            tpl_k = tpl_p
+            if geom.two_stage and noc > 1:
+                # the cm kernel's element order is (c, i, j); reorder the
+                # HBM templates to match (the fix-up keeps tpl_p in the
+                # XLA path's (j, i, c) order)
+                def to_cm(x):
+                    b_, _, np_ = x.shape
+                    x5 = x.reshape(b_, psz, psz, noc, np_)
+                    return jnp.transpose(x5, (0, 3, 2, 1, 4)).reshape(
+                        b_, psz * psz * noc, np_)
+
+                tpl_k = PatchTemplates(to_cm(tpl_p.tmpl), to_cm(tpl_p.tdx),
+                                       to_cm(tpl_p.tdy), tpl_p.hes)
             p_fin, pw, it_out = _gn_tiled_pallas(
-                spec, params, geom, planes2, tpl_p, p_init_p, ptr_p, xs, ys)
+                spec, params, geom, planes2, tpl_k, p_init_p, ptr_p, xs, ys)
         if k_max == 0:       # fix-up disabled: any bad tile full-falls-back
             return (_tile_inv(p_fin, spec, geom),
                     _tile_inv(pw, spec, geom), jnp.max(it_out))
@@ -1809,7 +1949,7 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
                 return PatchResult(
                     p=jnp.swapaxes(p_fin, 1, 2),
                     pt=jnp.swapaxes(to_pt(p_fin), 1, 2),
-                    pweight=pw.reshape(b, psz, psz, noc, n),
+                    pweight=pw.reshape(b, psz, psz, n),
                     iters=iters)
             # legacy unwindowed patch-blocking (e.g. RGB fine levels where
             # the tiled geometry does not fit VMEM)
@@ -1865,14 +2005,14 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
             return PatchResult(
                 p=jnp.swapaxes(p_fin, 1, 2),
                 pt=jnp.swapaxes(to_pt(p_fin), 1, 2),
-                pweight=pw.reshape(b, psz, psz, noc, n),
+                pweight=pw.reshape(b, psz, psz, n),
                 iters=iters)
 
     p_fin, pw, iters = _gn_xla_path(spec, params, im_b, ensure_tpl(tpl),
                                     p_init_t, pt_ref_t)
     return PatchResult(p=jnp.swapaxes(p_fin, 1, 2),
                        pt=jnp.swapaxes(to_pt(p_fin), 1, 2),
-                       pweight=pw.reshape(b, psz, psz, noc, n),
+                       pweight=pw.reshape(b, psz, psz, n),
                        iters=iters)
 
 
@@ -1929,7 +2069,7 @@ def _gn_xla_path(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
             patch = patch - patch.mean(axis=1, keepdims=True)
         pdiff, pweight = loss_error_image(patch - tpl.tmpl, params.costfct)
         mares = jnp.sum(pweight, axis=1) / novals
-        return pdiff, pweight, mares
+        return pdiff, _pw_dense(pweight, psz, noc), mares
 
     # ---- OptimizeStart (patch.cpp:118-154)
     pt0 = to_pt(p_init_t)
@@ -1941,7 +2081,7 @@ def _gn_xla_path(spec: LevelSpec, params: DISParams, im_b: jnp.ndarray,
     tmpl_pd, tmpl_pw = loss_error_image(tpl.tmpl, params.costfct)
     m = init_oob[:, None, :]
     pdiff0 = jnp.where(m, tpl.tmpl, pdiff0)
-    pweight0 = jnp.where(m, tmpl_pw, pweight0)
+    pweight0 = jnp.where(m, _pw_dense(tmpl_pw, psz, noc), pweight0)
     # cnt==0 convergence: only the residual threshold can stop here
     active0 = (~init_oob) & (params.max_iter > 0) & (mares0 > params.res_thresh)
 

@@ -64,7 +64,7 @@ def test_optimize_level_matches_oracle(noc, costfct):
     pts = oracle.grid_layout(w, h, psz, prm.patove)
     assert len(pts) == n
     ps = np.asarray(res.p)
-    pws = np.asarray(res.pweight)        # (P, P, C, N)
+    pws = np.asarray(res.pweight)        # (P, P, N) clamp-summed denominators
     tmpl_o = np.asarray(tpl.tmpl)        # (D, N)
     for ip, (px, py) in enumerate(pts):
         t, gx, gy = oracle.extract_nn(im_a, dx_a, dy_a, px, py, psz, psz, 1)
@@ -74,10 +74,14 @@ def test_optimize_level_matches_oracle(noc, costfct):
             im_b, t, gx, gy, hes, px, py, np.zeros(2, np.float32), oprm, bounds)
         np.testing.assert_allclose(ps[ip], p_o, atol=2e-3,
                                    err_msg=f"patch {ip} at ({px},{py})")
-        # L1's sqrt(|d|) has unbounded slope at d=0, amplifying the ~1e-3
-        # bf16-split extraction error to ~sqrt(1e-3) there
-        np.testing.assert_allclose(pws[..., ip], pw_o,
-                                   atol=0.04 if costfct == 1 else 5e-3)
+        # the backend emits the densify denominator sum_c max(w_c, 2)
+        # (PatchResult.pweight contract); transform the oracle's raw
+        # weights the same way. L1's sqrt(|d|) has unbounded slope at d=0,
+        # amplifying the ~1e-3 bf16-split extraction error to ~sqrt(1e-3)
+        pw_o_t = np.maximum(np.atleast_3d(pw_o), 2.0).sum(axis=2)
+        np.testing.assert_allclose(pws[..., ip], pw_o_t,
+                                   atol=(0.04 if costfct == 1 else 5e-3)
+                                   * noc)
 
 
 def test_densify_matches_oracle():
@@ -216,12 +220,15 @@ def test_init_oob_patch_pinned_semantics():
                                       jnp.asarray(p_init))
     # (a) parameters unchanged from init
     np.testing.assert_allclose(np.asarray(res.p)[0], p_init[0])
-    # (c) pweight == cost-weight(template) for the L2 cost: w = |template|
+    # (c) pweight == clamp-summed cost-weight(template) for the L2 cost:
+    # max(|template|, MINERRVAL) (PatchResult.pweight contract)
     tmpl0 = np.asarray(tpl.tmpl)[:, 0]
     _, want_pw = patch_solver.loss_error_image(jnp.asarray(tmpl0)[:, None],
                                                prm.costfct)
-    got_pw = np.asarray(res.pweight).reshape(psz * psz * 1, n)[:, 0]
-    np.testing.assert_allclose(got_pw, np.asarray(want_pw)[:, 0], rtol=1e-6)
+    got_pw = np.asarray(res.pweight).reshape(psz * psz, n)[:, 0]
+    np.testing.assert_allclose(got_pw,
+                               np.maximum(np.asarray(want_pw)[:, 0], 2.0),
+                               rtol=1e-6)
     # in-bounds patches are unaffected by the OOB one
     p_init2 = np.zeros((n, 2), np.float32)
     res2 = patch_solver.optimize_level(spec, prm, jnp.asarray(im_b), tpl,

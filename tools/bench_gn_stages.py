@@ -1,0 +1,195 @@
+"""Per-stage device timing of the fused GN kernel's iteration pipeline.
+
+Answers "where do the fused kernel's microseconds go" (VERDICT r3 item 2):
+replicates the production kernel's per-iteration stages at the op-2
+finest-level geometry (the 26-us/pair hot spot) and times cumulative
+ablations A0..A4 — the successive differences attribute device time to
+each stage:
+
+  A0  one-hot build + extraction dot          (the MXU stage)
+  A1  + 8-row band masked-add selection
+  A2  + 3-bit in-band conditional roll
+  A3  + bilinear y/x interpolation (per-j)
+  A4  + patnorm mean, L2 loss, mares, SD projections (full compute_err)
+
+Each variant runs the production iteration count (12) inside a fori_loop
+per program with per-iteration anchor jitter (cells change every
+iteration, like the varying-motion bench field; op-2 runs cache-free).
+Stage outputs chain by data dependence into a checksum so nothing DCEs.
+
+Usage: python tools/bench_gn_stages.py [batch] [reps]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+    from of_dis_tpu.ops import patch_solver as ps
+
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 384
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    # op-2 finest level (lv=3 of the 1024x448-padded Sintel frame)
+    psz, w1, c = 8, 9, 1
+    hp, wp = 72, 144                  # padded level image dims
+    n = 448                           # patches
+    d = psz * psz
+    max_iter = 12
+    bb = 2                            # production batch block at this level
+    wb, hpb, nbands = ps._gn_windows(psz, hp)   # 16, 80, 9
+    nterms = 2
+    w1c = w1 * c
+    m_rows = w1 * c * hpb
+    wp2 = nterms * wp
+
+    rng = np.random.default_rng(0)
+    im = rng.random((b, c, hp, wp)).astype(np.float32) * 255.0
+    lhs = jax.vmap(lambda x: ps._banded_planes_raw(x, hpb))(jnp.asarray(im))
+    tmpl = jnp.asarray(rng.random((b, d, n)).astype(np.float32))
+    tdx = jnp.asarray(rng.random((b, d, n)).astype(np.float32))
+    tdy = jnp.asarray(rng.random((b, d, n)).astype(np.float32))
+    sx0 = jnp.asarray(rng.integers(0, wp - w1 - max_iter - 1, (b, 1, n)),
+                      jnp.int32)
+    sy0 = jnp.asarray(rng.integers(0, hpb - wb - 3 * max_iter - 1, (b, 1, n)),
+                      jnp.int32)
+
+    def make(level):
+        def kernel(lh_ref, tm_ref, tx_ref, ty_ref, sx_ref, sy_ref, out_ref,
+                   sc_ref):
+            for k in range(bb):
+                for t in range(nterms):
+                    for s in range(w1):
+                        blk = lh_ref[k, :, t * wp + s:(t + 1) * wp]
+                        if s:
+                            blk = jnp.concatenate(
+                                [blk, jnp.zeros((c * hpb, s), jnp.bfloat16)],
+                                axis=1)
+                        sc_ref[k, s * c * hpb:(s + 1) * c * hpb,
+                               t * wp:(t + 1) * wp] = blk
+
+            def body(i, acc):
+                for k in range(bb):
+                    # anchor jitter: new integer cell every iteration
+                    sxk = sx_ref[k][0:1] + i            # (1, n)
+                    syk = sy_ref[k][0:1] + 3 * (i % 2)
+                    cols = jax.lax.broadcasted_iota(jnp.int32, (wp, n), 0)
+                    m1 = (cols == sxk).astype(jnp.bfloat16)
+                    oh = jnp.concatenate([m1] * nterms, axis=0)
+                    t = jnp.dot(sc_ref[k], oh,
+                                preferred_element_type=jnp.float32)
+                    if level == 0:
+                        acc = acc + jnp.sum(t, axis=0, keepdims=True)
+                        continue
+                    t = t.reshape(w1c, hpb, n)
+                    bi = jax.lax.shift_right_logical(syk, 3)
+                    tb = jnp.zeros((w1c, wb, n), jnp.float32)
+                    for band in range(nbands):
+                        m = (bi == band)[None]
+                        tb = tb + jnp.where(
+                            m, t[:, 8 * band:8 * band + wb, :], 0.0)
+                    if level == 1:
+                        acc = acc + jnp.sum(
+                            tb.reshape(w1c * wb, n), axis=0, keepdims=True)
+                        continue
+                    s3 = jnp.bitwise_and(syk, 7)
+                    a = tb
+                    for bit in range(3):
+                        amt = 1 << bit
+                        rolled = pltpu.roll(a, (wb - amt) % wb, 1)
+                        m = (jnp.bitwise_and(jax.lax.shift_right_logical(
+                            s3, bit), 1) == 1)[None]
+                        a = jnp.where(m, rolled, a)
+                    if level == 2:
+                        acc = acc + jnp.sum(
+                            a.reshape(w1c * wb, n), axis=0, keepdims=True)
+                        continue
+                    ry = 0.25 + 0.001 * i
+                    rx = 0.5 - 0.001 * i
+                    rows = [a[:, j, :] for j in range(psz + 1)]
+                    parts = []
+                    for j in range(psz):
+                        wyj = (1.0 - ry) * rows[j] + ry * rows[j + 1]
+                        wyj = wyj.reshape(w1, c, n)
+                        pxj = (1.0 - rx) * wyj[:psz] + rx * wyj[1:]
+                        parts.append(pxj.reshape(psz * c, n))
+                    patch = jnp.concatenate(parts, axis=0)
+                    if level == 3:
+                        acc = acc + jnp.sum(patch, axis=0, keepdims=True)
+                        continue
+                    patch = patch - patch.mean(axis=0, keepdims=True)
+                    pdiff = patch - tm_ref[k]
+                    pweight = jnp.abs(pdiff)
+                    mares = jnp.sum(pweight, axis=0, keepdims=True) / d
+                    r0 = jnp.sum(tx_ref[k] * pdiff, axis=0, keepdims=True)
+                    r1 = jnp.sum(ty_ref[k] * pdiff, axis=0, keepdims=True)
+                    acc = acc + mares + r0 + r1
+                return acc
+
+            out_ref[:] = jax.lax.fori_loop(
+                0, max_iter, body, jnp.zeros((1, n), jnp.float32))
+
+        blk_lhs = pl.BlockSpec((bb, c * hpb, wp2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        blk_d = pl.BlockSpec((bb, d, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        blk_i = pl.BlockSpec((bb, 1, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        blk_o = pl.BlockSpec((1, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(b // bb,),
+            out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+            in_specs=[blk_lhs, blk_d, blk_d, blk_d, blk_i, blk_i],
+            out_specs=blk_o,
+            scratch_shapes=[pltpu.VMEM((bb, m_rows, wp2), jnp.bfloat16)],
+        )
+
+    def sync(x):
+        return float(np.asarray(jnp.sum(x)))
+
+    names = ["A0 dot", "A1 +band", "A2 +roll", "A3 +bilerp",
+             "A4 +loss/proj"]
+    results = []
+    for level in range(5):
+        call = make(level)
+
+        @jax.jit
+        def run(chk, lhs=lhs):
+            o = call(lhs, tmpl, tdx, tdy, sx0, sy0)
+            return chk + jnp.sum(o)
+
+        sync(run(jnp.zeros((), jnp.float32)))
+        t0 = time.perf_counter()
+        chk = jnp.zeros((), jnp.float32)
+        for _ in range(reps):
+            chk = run(chk)
+        sync(chk)
+        dt = (time.perf_counter() - t0) / reps
+        us_pair = dt * 1e6 / b
+        results.append(us_pair)
+        prev = results[-2] if len(results) > 1 else 0.0
+        print(f"{names[level]:16s} {us_pair:7.2f} us/pair   "
+              f"(+{us_pair - prev:5.2f})")
+    print("\n(production finest-level kernel time for comparison: "
+          "tools/profile_pipeline.py)")
+
+
+if __name__ == "__main__":
+    main()

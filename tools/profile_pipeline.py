@@ -6,7 +6,9 @@ the trace and prints (a) total device time, (b) per-op-category totals,
 pipeline's relayout copies / dense-matmul waste / kernel shares were found
 (see the bench history in git log).
 
-Usage: python tools/profile_pipeline.py [batch] [op_point]
+Usage: python tools/profile_pipeline.py [batch] [op_point] [seq]
+(third arg "seq": profile dis_sequence_batched with [batch] streams x 5
+frames instead of the batched pair mode — VERDICT r3 item 6)
 """
 
 import collections
@@ -49,16 +51,33 @@ def main():
         jnp.asarray(base))
     im_b = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))(
         jnp.asarray(shift))
-    fn = lambda x, y: dis.dis_flow_batched(
-        x, y, params, im_a.shape[3], im_a.shape[2], channels_last=False)
-    out = fn(im_a, im_b)
-    float(np.asarray(out[0, 0, 0, 0]))   # compile + warm up
+    seq = len(sys.argv) > 3 and sys.argv[3] == "seq"
+    if seq:
+        # S=b streams x 5 frames: per-step device work == batch-b pair
+        # mode, plus the warm-start carry — the difference IS the
+        # sequence-mode overhead
+        t_n = 5
+        u, v = _bench._flow_field(h_org, w_org)
+        fr = np.stack([np.clip(np.rint(_bench._warp_pairs(
+            base[:b], k * u, k * v)), 0, 255).astype(np.uint8)
+            for k in range(t_n)])
+        frames = jax.vmap(jax.vmap(
+            lambda x: pyramid.pad_to_divisible(x, params.sc_f)))(
+            jnp.asarray(fr))
+        fn0 = lambda x: dis.dis_sequence_batched(
+            x, params, frames.shape[4], frames.shape[3])
+        run = lambda: float(np.asarray(fn0(frames)[0, 0, 0, 0, 0]))
+        b = b * (t_n - 1)      # pairs per trace for the us/pair line
+    else:
+        fn = lambda x, y: dis.dis_flow_batched(
+            x, y, params, im_a.shape[3], im_a.shape[2], channels_last=False)
+        run = lambda: float(np.asarray(fn(im_a, im_b)[0, 0, 0, 0]))
+    run()   # compile + warm up
 
     trace_dir = "/tmp/of_dis_tpu_trace"
     os.makedirs(trace_dir, exist_ok=True)
     with jax.profiler.trace(trace_dir):
-        out = fn(im_a, im_b)
-        float(np.asarray(out[0, 0, 0, 0]))
+        run()
 
     tr = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
     with gzip.open(tr) as f:
@@ -70,7 +89,8 @@ def main():
             if e.get("ph") == "M" and e.get("name") == "process_name"}
     dev = [p for p, name in pids.items() if "TPU" in name]
     ev = [e for e in ev if e["pid"] in dev
-          and not e["name"].startswith("jit_dis_flow_batched")]
+          and not e["name"].startswith(("jit_dis_flow_batched",
+                                        "jit_dis_sequence_batched"))]
     tot = sum(e["dur"] for e in ev)
     print(f"device total: {tot/1e3:.2f} ms "
           f"({tot/b:.1f} us/pair at batch {b})")

@@ -47,6 +47,8 @@ def main():
          "of_int_op4.flo", 0.01),
         ("OF_RGB op2", "run_OF_RGB", "ac.png", "bc.png", "2",
          "of_rgb_op2.flo", 0.01),
+        ("OF_RGB op3", "run_OF_RGB", "ac.png", "bc.png", "3",
+         "of_rgb_op3.flo", 0.01),
         ("OF_GRD op2", "run_OF_GRD", "a.png", "b.png", "2",
          "of_grd_op2.flo", 0.01),
     ]
@@ -90,12 +92,15 @@ def main():
         _jax.clear_caches()
 
     # depth (.pfm, mean-abs ratio)
-    for name, mode, i1, i2, golden in [
-            ("DE_INT op2", "run_DE_INT", "a.png", "bs.png", "de_int_op2.pfm"),
-            ("DE_RGB op2", "run_DE_RGB", "asc.png", "bsc.png",
+    for name, mode, i1, i2, op, golden in [
+            ("DE_INT op2", "run_DE_INT", "a.png", "bs.png", "2",
+             "de_int_op2.pfm"),
+            ("DE_INT op3", "run_DE_INT", "a.png", "bs.png", "3",
+             "de_int_op3.pfm"),
+            ("DE_RGB op2", "run_DE_RGB", "asc.png", "bsc.png", "2",
              "de_rgb_op2.pfm")]:
         out = f"/tmp/tpu_parity_{golden}"
-        cli.main([mode, os.path.join(g, i1), os.path.join(g, i2), out, "2",
+        cli.main([mode, os.path.join(g, i1), os.path.join(g, i2), out, op,
                   "--quiet"])
         ours = io.read_pfm(out)
         ref = io.read_pfm(os.path.join(g, golden))
