@@ -172,8 +172,24 @@ def main():
 
     # secondary metrics (same JSON line): small-batch loops over the other
     # perf-relevant regimes so regressions there are visible in the recorded
-    # bench, not just op-2. Disable with BENCH_SECONDARY=0.
+    # bench, not just op-2. Disable with BENCH_SECONDARY=0. Each secondary
+    # runs under a wall-clock budget (BENCH_TIME_BUDGET seconds, default
+    # 2400): when cold compiles eat the budget, the remaining secondaries
+    # are skipped (recorded as "skipped (time budget)") instead of risking
+    # the whole bench line to an external timeout; a failing secondary
+    # likewise records its error without losing the primary metric.
     secondary = {}
+    bench_t0 = time.perf_counter()
+    time_budget = float(os.environ.get("BENCH_TIME_BUDGET", "2400"))
+
+    def _secondary(name, thunk):
+        if time.perf_counter() - bench_t0 > time_budget:
+            secondary[name] = "skipped (time budget)"
+            return
+        try:
+            secondary[name] = thunk()
+        except Exception as e:  # pragma: no cover - defensive recording
+            secondary[name] = f"error: {type(e).__name__}: {e}"
 
     def _measure(p, a_np, b_np, bsz, its):
         a = jax.vmap(lambda x: pyramid.pad_to_divisible(x, p.sc_f))(
@@ -197,34 +213,36 @@ def main():
 
     if os.environ.get("BENCH_SECONDARY", "1") != "0":
         p3 = op_point_params(w_org, 3, nop=2, noc=1, verbosity=0)
-        secondary["op3_pairs_per_sec"] = _measure(
-            p3, base, shift, min(batch, 8), 4)
+        _secondary("op3_pairs_per_sec",
+                   lambda: _measure(p3, base, shift, min(batch, 8), 4))
 
         # op-3 with the cross-iteration extraction cache disabled: bounds
         # the cache's contribution to the op-3 number (the knob is read at
         # trace time, so drop the trace caches to force a re-trace; the
         # persistent .jax_cache still covers the recompile across rounds)
-        os.environ["OF_DIS_TPU_NO_EXTRACT_CACHE"] = "1"
-        jax.clear_caches()
-        try:
-            secondary["op3_nocache_pairs_per_sec"] = _measure(
-                p3, base, shift, min(batch, 8), 4)
-        finally:
-            del os.environ["OF_DIS_TPU_NO_EXTRACT_CACHE"]
+        def _op3_nocache():
+            os.environ["OF_DIS_TPU_NO_EXTRACT_CACHE"] = "1"
             jax.clear_caches()
+            try:
+                return _measure(p3, base, shift, min(batch, 8), 4)
+            finally:
+                del os.environ["OF_DIS_TPU_NO_EXTRACT_CACHE"]
+                jax.clear_caches()
+
+        _secondary("op3_nocache_pairs_per_sec", _op3_nocache)
 
         # op-4 (128-iteration max-quality regime)
         p4 = op_point_params(w_org, 4, nop=2, noc=1, verbosity=0)
-        secondary["op4_pairs_per_sec"] = _measure(
-            p4, base, shift, min(batch, 4), 2)
+        _secondary("op4_pairs_per_sec",
+                   lambda: _measure(p4, base, shift, min(batch, 4), 2))
 
         # RGB op-3 (the fine-level noc=3 path); batch 8 = the measured
         # op-3 sweet spot, 3 iters for a less noisy sample
         b3 = min(batch, 8)
         base3, shift3 = _make_pairs(rng, b3, h_org, w_org, noc=3)
         p3c = op_point_params(w_org, 3, nop=2, noc=3, verbosity=0)
-        secondary["rgb_op3_pairs_per_sec"] = _measure(
-            p3c, base3, shift3, b3, 3)
+        _secondary("rgb_op3_pairs_per_sec",
+                   lambda: _measure(p3c, base3, shift3, b3, 3))
 
         # depth op-2 (1-D disparity; left camera clamps >=0 shifts to zero,
         # so use a negative-x disparity field). Batch 256: depth device
@@ -235,56 +253,60 @@ def main():
         shiftd = np.clip(np.rint(_warp_pairs(
             based, -np.abs(u), np.zeros_like(v))), 0, 255).astype(np.uint8)
         pd = op_point_params(w_org, 2, nop=1, noc=1, verbosity=0)
-        secondary["de_op2_pairs_per_sec"] = _measure(
-            pd, based, shiftd, min(batch, 256), 4)
+        _secondary("de_op2_pairs_per_sec",
+                   lambda: _measure(pd, based, shiftd, min(batch, 256), 4))
 
         # depth op-3 (1-D tiled GN fine levels — the regime most sensitive
         # to the in-kernel template extraction path)
         pd3 = op_point_params(w_org, 3, nop=1, noc=1, verbosity=0)
-        secondary["de_op3_pairs_per_sec"] = _measure(
-            pd3, based, shiftd, min(batch, 8), 4)
+        _secondary("de_op3_pairs_per_sec",
+                   lambda: _measure(pd3, based, shiftd, min(batch, 8), 4))
 
         # forward-backward merge at op-2 (BASELINE.md config 3: both
         # directions optimized per scale + bilinear backward splat)
         import dataclasses
         pfb = dataclasses.replace(params, usefbcon=True)
-        secondary["fbcon_op2_pairs_per_sec"] = _measure(
-            pfb, base, shift, min(batch, 64), 4)
+        _secondary("fbcon_op2_pairs_per_sec",
+                   lambda: _measure(pfb, base, shift, min(batch, 64), 4))
 
         # 1080p op-2 (frames >Sintel: the row-tiled banded warp and the
         # tiled GN windows at full-HD level sizes)
-        bhd = min(batch, 32)
-        base_hd, shift_hd = _make_pairs(rng, bhd, 1080, 1920)
-        p2hd = op_point_params(1920, 2, nop=2, noc=1, verbosity=0)
-        secondary["op2_1080p_pairs_per_sec"] = _measure(
-            p2hd, base_hd, shift_hd, bhd, 3)
+        def _hd():
+            bhd = min(batch, 32)
+            base_hd, shift_hd = _make_pairs(rng, bhd, 1080, 1920)
+            p2hd = op_point_params(1920, 2, nop=2, noc=1, verbosity=0)
+            return _measure(p2hd, base_hd, shift_hd, bhd, 3)
+
+        _secondary("op2_1080p_pairs_per_sec", _hd)
 
         # sequence mode at op-3: S streams in lockstep, the scan carrying
         # warm starts (run_dense.cpp:356-379's init-flow hook)
-        s_n, t_n = 4, 9
-        u1, v1 = _flow_field(h_org, w_org)
-        seq = np.stack([
-            np.clip(np.rint(_warp_pairs(base[:s_n], k * u1, k * v1)),
-                    0, 255).astype(np.uint8) for k in range(t_n)])
-        p3s = op_point_params(w_org, 3, nop=2, noc=1, verbosity=0)
-        fr = jax.vmap(jax.vmap(
-            lambda x: pyramid.pad_to_divisible(x, p3s.sc_f)))(
-            jnp.asarray(seq))
-        fh, fw = int(fr.shape[3]), int(fr.shape[4])
+        def _seq():
+            s_n, t_n = 4, 9
+            u1, v1 = _flow_field(h_org, w_org)
+            seq = np.stack([
+                np.clip(np.rint(_warp_pairs(base[:s_n], k * u1, k * v1)),
+                        0, 255).astype(np.uint8) for k in range(t_n)])
+            p3s = op_point_params(w_org, 3, nop=2, noc=1, verbosity=0)
+            fr = jax.vmap(jax.vmap(
+                lambda x: pyramid.pad_to_divisible(x, p3s.sc_f)))(
+                jnp.asarray(seq))
+            fh, fw = int(fr.shape[3]), int(fr.shape[4])
 
-        @jax.jit
-        def seq_step(x, chk):
-            out = dis.dis_sequence_batched(x, p3s, fw, fh)
-            return chk + jnp.sum(out[:, :, :, ::64, ::64])
+            @jax.jit
+            def seq_step(x, chk):
+                out = dis.dis_sequence_batched(x, p3s, fw, fh)
+                return chk + jnp.sum(out[:, :, :, ::64, ::64])
 
-        _sync(seq_step(fr, jnp.zeros((), jnp.float32)))
-        t0 = time.perf_counter()
-        chk = jnp.zeros((), jnp.float32)
-        for _ in range(2):
-            chk = seq_step(fr, chk)
-        _sync(chk)
-        secondary["seq_op3_pairs_per_sec"] = round(
-            s_n * (t_n - 1) * 2 / (time.perf_counter() - t0), 2)
+            _sync(seq_step(fr, jnp.zeros((), jnp.float32)))
+            t0 = time.perf_counter()
+            chk = jnp.zeros((), jnp.float32)
+            for _ in range(2):
+                chk = seq_step(fr, chk)
+            _sync(chk)
+            return round(s_n * (t_n - 1) * 2 / (time.perf_counter() - t0), 2)
+
+        _secondary("seq_op3_pairs_per_sec", _seq)
 
     print(json.dumps({
         "metric": "sintel_1024x436_op2_pairs_per_sec",
