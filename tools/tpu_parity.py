@@ -91,16 +91,20 @@ def main():
         del os.environ["OF_DIS_TPU_EXACT_EXTRACT"]
         _jax.clear_caches()
 
-    # depth (.pfm, mean-abs ratio)
+    # depth (.pfm, mean-abs ratio); the fbcon row uses the full 20-param
+    # form of tests/test_golden_parity.py (usefbcon=1 backward splat)
+    fb20 = ("3 1 12 12 0.05 0.95 0 8 0.4 1 1 0 1 10 10 5 1 3 1.6 0".split())
     for name, mode, i1, i2, op, golden in [
-            ("DE_INT op2", "run_DE_INT", "a.png", "bs.png", "2",
+            ("DE_INT op2", "run_DE_INT", "a.png", "bs.png", ["2"],
              "de_int_op2.pfm"),
-            ("DE_INT op3", "run_DE_INT", "a.png", "bs.png", "3",
+            ("DE_INT op3", "run_DE_INT", "a.png", "bs.png", ["3"],
              "de_int_op3.pfm"),
-            ("DE_RGB op2", "run_DE_RGB", "asc.png", "bsc.png", "2",
+            ("DE_INT fbcon", "run_DE_INT", "a.png", "bs.png", fb20,
+             "de_int_l2_fb.pfm"),
+            ("DE_RGB op2", "run_DE_RGB", "asc.png", "bsc.png", ["2"],
              "de_rgb_op2.pfm")]:
         out = f"/tmp/tpu_parity_{golden}"
-        cli.main([mode, os.path.join(g, i1), os.path.join(g, i2), out, op,
+        cli.main([mode, os.path.join(g, i1), os.path.join(g, i2), out, *op,
                   "--quiet"])
         ours = io.read_pfm(out)
         ref = io.read_pfm(os.path.join(g, golden))
