@@ -12,6 +12,14 @@ each stage:
   A3  + bilinear y/x interpolation (per-j)
   A4  + patnorm mean, L2 loss, mares, SD projections (full compute_err)
 
+plus full-pipeline (A4-equivalent) candidate variants:
+
+  B1  band selection via log2(nbands) halving selects (off-index carried
+      per lane) instead of nbands masked adds — bit-exact reindexing
+  B2  y-lerp as ONE (w1c, wb, n) FMA against roll(a, -1) after alignment
+      instead of psz small (w1c, n) FMAs
+  B3  B1 + B2 combined
+
 Each variant runs the production iteration count (12) inside a fori_loop
 per program with per-iteration anchor jitter (cells change every
 iteration, like the varying-motion bench field; op-2 runs cache-free).
@@ -31,6 +39,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import jax
+    if os.environ.get("GN_STAGES_INTERPRET"):
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -69,7 +79,7 @@ def main():
     sy0 = jnp.asarray(rng.integers(0, hpb - wb - 3 * max_iter - 1, (b, 1, n)),
                       jnp.int32)
 
-    def make(level):
+    def make(level, log_band=False, vec_ylerp=False):
         def kernel(lh_ref, tm_ref, tx_ref, ty_ref, sx_ref, sy_ref, out_ref,
                    sc_ref):
             for k in range(bb):
@@ -98,11 +108,26 @@ def main():
                         continue
                     t = t.reshape(w1c, hpb, n)
                     bi = jax.lax.shift_right_logical(syk, 3)
-                    tb = jnp.zeros((w1c, wb, n), jnp.float32)
-                    for band in range(nbands):
-                        m = (bi == band)[None]
-                        tb = tb + jnp.where(
-                            m, t[:, 8 * band:8 * band + wb, :], 0.0)
+                    if log_band:
+                        # halving select: pick band off ∈ [0, span) from
+                        # cur rows [0, 8*(span-1)+wb) in ceil(log2) steps
+                        cur, off, span = t, bi, nbands
+                        while span > 1:
+                            kk = span // 2
+                            nxt = 8 * (max(kk, span - kk) - 1) + wb
+                            m = (off >= kk)[None]
+                            cur = jnp.where(
+                                m, cur[:, 8 * kk:8 * kk + nxt, :],
+                                cur[:, :nxt, :])
+                            off = jnp.where(off >= kk, off - kk, off)
+                            span = span - kk
+                        tb = cur
+                    else:
+                        tb = jnp.zeros((w1c, wb, n), jnp.float32)
+                        for band in range(nbands):
+                            m = (bi == band)[None]
+                            tb = tb + jnp.where(
+                                m, t[:, 8 * band:8 * band + wb, :], 0.0)
                     if level == 1:
                         acc = acc + jnp.sum(
                             tb.reshape(w1c * wb, n), axis=0, keepdims=True)
@@ -121,13 +146,22 @@ def main():
                         continue
                     ry = 0.25 + 0.001 * i
                     rx = 0.5 - 0.001 * i
-                    rows = [a[:, j, :] for j in range(psz + 1)]
-                    parts = []
-                    for j in range(psz):
-                        wyj = (1.0 - ry) * rows[j] + ry * rows[j + 1]
-                        wyj = wyj.reshape(w1, c, n)
-                        pxj = (1.0 - rx) * wyj[:psz] + rx * wyj[1:]
-                        parts.append(pxj.reshape(psz * c, n))
+                    if vec_ylerp:
+                        up = pltpu.roll(a, a.shape[1] - 1, 1)  # up[j]=a[j+1]
+                        wy = (1.0 - ry) * a + ry * up          # one FMA pass
+                        parts = []
+                        for j in range(psz):
+                            wyj = wy[:, j, :].reshape(w1, c, n)
+                            pxj = (1.0 - rx) * wyj[:psz] + rx * wyj[1:]
+                            parts.append(pxj.reshape(psz * c, n))
+                    else:
+                        rows = [a[:, j, :] for j in range(psz + 1)]
+                        parts = []
+                        for j in range(psz):
+                            wyj = (1.0 - ry) * rows[j] + ry * rows[j + 1]
+                            wyj = wyj.reshape(w1, c, n)
+                            pxj = (1.0 - rx) * wyj[:psz] + rx * wyj[1:]
+                            parts.append(pxj.reshape(psz * c, n))
                     patch = jnp.concatenate(parts, axis=0)
                     if level == 3:
                         acc = acc + jnp.sum(patch, axis=0, keepdims=True)
@@ -159,23 +193,28 @@ def main():
             in_specs=[blk_lhs, blk_d, blk_d, blk_d, blk_i, blk_i],
             out_specs=blk_o,
             scratch_shapes=[pltpu.VMEM((bb, m_rows, wp2), jnp.bfloat16)],
+            interpret=bool(os.environ.get("GN_STAGES_INTERPRET")),
         )
 
     def sync(x):
         return float(np.asarray(jnp.sum(x)))
 
-    names = ["A0 dot", "A1 +band", "A2 +roll", "A3 +bilerp",
-             "A4 +loss/proj"]
+    variants = [("A0 dot", 0, {}), ("A1 +band", 1, {}),
+                ("A2 +roll", 2, {}), ("A3 +bilerp", 3, {}),
+                ("A4 +loss/proj", 4, {}),
+                ("B1 log-band", 4, {"log_band": True}),
+                ("B2 vec-ylerp", 4, {"vec_ylerp": True}),
+                ("B3 log+vec", 4, {"log_band": True, "vec_ylerp": True})]
     results = []
-    for level in range(5):
-        call = make(level)
+    for name, level, kw in variants:
+        call = make(level, **kw)
 
         @jax.jit
-        def run(chk, lhs=lhs):
+        def run(chk, lhs=lhs, call=call):
             o = call(lhs, tmpl, tdx, tdy, sx0, sy0)
             return chk + jnp.sum(o)
 
-        sync(run(jnp.zeros((), jnp.float32)))
+        chk1 = sync(run(jnp.zeros((), jnp.float32)))
         t0 = time.perf_counter()
         chk = jnp.zeros((), jnp.float32)
         for _ in range(reps):
@@ -183,11 +222,27 @@ def main():
         sync(chk)
         dt = (time.perf_counter() - t0) / reps
         us_pair = dt * 1e6 / b
-        results.append(us_pair)
-        prev = results[-2] if len(results) > 1 else 0.0
-        print(f"{names[level]:16s} {us_pair:7.2f} us/pair   "
-              f"(+{us_pair - prev:5.2f})")
-    print("\n(production finest-level kernel time for comparison: "
+        results.append((us_pair, chk1))
+        prev = results[-2][0] if len(results) > 1 and level > 0 and not kw \
+            else 0.0
+        delta = f"(+{us_pair - prev:5.2f})" if prev else ""
+        # B* variants are exact reindexings of A4: their one-rep checksums
+        # must match A4's bit-for-bit
+        eq = ""
+        if kw:
+            a4 = next(c for (nm, _, k), (_, c) in zip(variants, results)
+                      if nm.startswith("A4"))
+            if chk1 == a4:
+                eq = "  == A4 (bit)"
+            else:
+                rel = abs(chk1 - a4) / max(abs(a4), 1e-30)
+                # vec-ylerp reassociates the same FMA over a bigger shape;
+                # compilers may contract differently → float-noise only
+                eq = (f"  ~= A4 (rel {rel:.1e})" if rel < 1e-5
+                      else f"  != A4 ({chk1} vs {a4})")
+        print(f"{name:16s} {us_pair:7.2f} us/pair   {delta}{eq}", flush=True)
+    print("\n(B* variants are full-pipeline A4 equivalents; compare "
+          "against the A4 row. Production finest-level kernel time: "
           "tools/profile_pipeline.py)")
 
 
