@@ -14,8 +14,11 @@ Two paths:
     see _axis_slots/aggregate_flow_dense).
   - backward merge ("fbcon"): the complementary grid's patches splat their
     NEGATED displacement bilinearly at their *converged* target position
-    (patchgrid.cpp:278-375). Indices are runtime values -> scatter-add (XLA
-    scatter, deterministic).
+    (patchgrid.cpp:278-375). Indices are runtime values, so this cannot use
+    the static cover tables — instead the 4 corner splats combine into one
+    (psz+1)^2 footprint placed by dynamic one-hot MXU contractions
+    (deterministic; XLA scatter-add kept behind OF_DIS_TPU_SCATTER_FBCON=1,
+    measured ~90x slower end-to-end on TPU at op-2).
 
 Finally each pixel is normalized by its accumulated weight (patchgrid.cpp:377-394).
 """
@@ -137,8 +140,6 @@ def aggregate_flow_dense(spec: LevelSpec, params: DISParams, res: PatchResult,
         pos_c = jnp.ceil(rppos + 1e-5).astype(jnp.int32)      # (N,2) ceil
         resid = rppos - jnp.floor(rppos)
         rx, ry = resid[:, 0], resid[:, 1]
-        wbil = jnp.stack([rx * ry, (1 - rx) * ry, rx * (1 - ry),
-                          (1 - rx) * (1 - ry)], axis=1)       # (N,4)
         lb = -psz // 2
         offs = jnp.arange(psz) + lb
         yt = pos_c[:, 1][:, None, None] + offs[None, :, None]
@@ -148,17 +149,69 @@ def aggregate_flow_dense(spec: LevelSpec, params: DISParams, res: PatchResult,
                   & (yt < spec.height - 1)).astype(jnp.float32)
         babsw = jnp.transpose(_pixel_weights(compl_res.pweight),
                               (2, 0, 1)) * bvalid            # (N,P,P)
-        flnew = compl_res.p[:, None, None, :] * babsw[..., None]  # (N,P,P,nop)
-        xt = jnp.clip(xt, 1, spec.width - 1)
-        yt = jnp.clip(yt, 1, spec.height - 1)
-        # 4 corners: cc (xt,yt), fc (xt-1,yt), cf (xt,yt-1), ff (xt-1,yt-1)
-        corners = [(0, 0, 0), (1, -1, 0), (2, 0, -1), (3, -1, -1)]
-        for k, dx_c, dy_c in corners:
-            cidx = ((yt + dy_c) * spec.width + (xt + dx_c)).reshape(-1)
-            wk = (wbil[:, k][:, None, None] * babsw).reshape(-1)
-            we = we.at[cidx].add(wk)
-            fk = wbil[:, k][:, None, None, None] * flnew
-            flow = flow.at[cidx].add(-fk.reshape(-1, nop))
+        n_bw = babsw.shape[0]
+        import os as _os
+        if _os.environ.get("OF_DIS_TPU_SCATTER_FBCON"):
+            # original scatter-add formulation (A/B escape hatch): XLA TPU
+            # lowers the duplicate-index adds to a serialized update loop —
+            # measured ~90x slower than plain op-2 end to end
+            wbil = jnp.stack([rx * ry, (1 - rx) * ry, rx * (1 - ry),
+                              (1 - rx) * (1 - ry)], axis=1)   # (N,4)
+            flnew = (compl_res.p[:, None, None, :]
+                     * babsw[..., None])                      # (N,P,P,nop)
+            xt = jnp.clip(xt, 1, spec.width - 1)
+            yt = jnp.clip(yt, 1, spec.height - 1)
+            # 4 corners: cc (xt,yt), fc (xt-1,yt), cf (xt,yt-1), ff (-1,-1)
+            corners = [(0, 0, 0), (1, -1, 0), (2, 0, -1), (3, -1, -1)]
+            for k, dx_c, dy_c in corners:
+                cidx = ((yt + dy_c) * spec.width + (xt + dx_c)).reshape(-1)
+                wk = (wbil[:, k][:, None, None] * babsw).reshape(-1)
+                we = we.at[cidx].add(wk)
+                fk = wbil[:, k][:, None, None, None] * flnew
+                flow = flow.at[cidx].add(-fk.reshape(-1, nop))
+        else:
+            # scatter-free MXU formulation (same sums, dot order): the 4
+            # bilinear corner splats are one (psz+1)^2 combined footprint
+            # W2 = babsw 2x2-correlated with the bilinear kernel, the flow
+            # values factor as -p_i * W2, and placement is two one-hot
+            # contractions — per-axis like the forward path, but with
+            # dynamic per-patch one-hots since converged positions are
+            # runtime values. Out-of-range cells match no one-hot column
+            # (and already carry zero weight via bvalid).
+            p1 = psz + 1
+            w00 = ((1 - rx) * (1 - ry))[:, None, None]
+            w01 = (rx * (1 - ry))[:, None, None]
+            w10 = ((1 - rx) * ry)[:, None, None]
+            w11 = (rx * ry)[:, None, None]
+            w2 = jnp.zeros((n_bw, p1, p1), jnp.float32)
+            w2 = w2.at[:, 1:, 1:].add(w11 * babsw)
+            w2 = w2.at[:, 1:, :psz].add(w10 * babsw)
+            w2 = w2.at[:, :psz, 1:].add(w01 * babsw)
+            w2 = w2.at[:, :psz, :psz].add(w00 * babsw)
+            ybase = pos_c[:, 1] + lb - 1                      # (N,)
+            xbase = pos_c[:, 0] + lb - 1
+            ar = jnp.arange(p1, dtype=jnp.int32)
+            yio = jnp.arange(spec.height, dtype=jnp.int32)
+            xio = jnp.arange(spec.width, dtype=jnp.int32)
+            ysel = (yio[None, None, :]
+                    == (ybase[None, :, None] + ar[:, None, None])
+                    ).astype(jnp.float32)                     # (P1,N,H)
+            xsel = (xio[None, None, :]
+                    == (xbase[:, None, None] + ar[None, :, None])
+                    ).astype(jnp.float32)                     # (N,P1,W)
+            # x placement: row footprints at their columns (N,P1,H->W dims)
+            vrow = jnp.einsum("nab,nbx->nax", w2, xsel,
+                              precision=hi)                   # (N,P1,W)
+            # fold the per-patch field values [1, -p] into the y one-hots,
+            # then one dot places every row of every field at once
+            cmat = jnp.concatenate(
+                [jnp.ones((1, n_bw), jnp.float32), -compl_res.p.T],
+                axis=0)                                       # (1+nop,N)
+            ysf = ysel[:, :, None, :] * cmat.T[None, :, :, None]
+            outb = jnp.einsum("aify,iax->fyx", ysf, vrow,
+                              precision=hi)                   # (1+nop,H,W)
+            we = we + outb[0].reshape(hw)
+            flow = flow + jnp.moveaxis(outb[1:], 0, 2).reshape(hw, nop)
 
     flow = jnp.where(we[:, None] > 0, flow / we[:, None], flow)
     return flow.reshape(spec.height, spec.width, nop)

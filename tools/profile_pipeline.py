@@ -52,6 +52,11 @@ def main():
     im_b = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))(
         jnp.asarray(shift))
     seq = len(sys.argv) > 3 and sys.argv[3] == "seq"
+    if len(sys.argv) > 3 and sys.argv[3] == "fb":
+        # forward-backward merge mode: per-HLO attribution of the fbcon
+        # overhead (backward grid optimize + bilinear backward splat)
+        import dataclasses
+        params = dataclasses.replace(params, usefbcon=True)
     if seq:
         # S=b streams x 5 frames: per-step device work == batch-b pair
         # mode, plus the warm-start carry — the difference IS the
