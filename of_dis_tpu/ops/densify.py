@@ -170,44 +170,44 @@ def aggregate_flow_dense(spec: LevelSpec, params: DISParams, res: PatchResult,
                 fk = wbil[:, k][:, None, None, None] * flnew
                 flow = flow.at[cidx].add(-fk.reshape(-1, nop))
         else:
-            # scatter-free MXU formulation (same sums, dot order): the 4
-            # bilinear corner splats are one (psz+1)^2 combined footprint
-            # W2 = babsw 2x2-correlated with the bilinear kernel, the flow
-            # values factor as -p_i * W2, and placement is two one-hot
-            # contractions — per-axis like the forward path, but with
-            # dynamic per-patch one-hots since converged positions are
-            # runtime values. Out-of-range cells match no one-hot column
-            # (and already carry zero weight via bvalid).
-            p1 = psz + 1
-            w00 = ((1 - rx) * (1 - ry))[:, None, None]
-            w01 = (rx * (1 - ry))[:, None, None]
-            w10 = ((1 - rx) * ry)[:, None, None]
-            w11 = (rx * ry)[:, None, None]
-            w2 = jnp.zeros((n_bw, p1, p1), jnp.float32)
-            w2 = w2.at[:, 1:, 1:].add(w11 * babsw)
-            w2 = w2.at[:, 1:, :psz].add(w10 * babsw)
-            w2 = w2.at[:, :psz, 1:].add(w01 * babsw)
-            w2 = w2.at[:, :psz, :psz].add(w00 * babsw)
+            # scatter-free MXU formulation (same sums, dot order): the 2x2
+            # bilinear corner kernel is SEPARABLE,
+            #   [[w00,w01],[w10,w11]] = (1-ry, ry)^T (x) (1-rx, rx),
+            # so rather than correlating babsw into a (psz+1)^2 combined
+            # footprint (an offset-slice build XLA lowers to
+            # dynamic-update-slices on sub-tile (..,9,9) minors — measured
+            # 29.5 of 42.9 ms of fbcon op-2 b64 device time), the two taps
+            # per axis fold into the placement one-hots themselves: cell
+            # ybase+i takes babsw[i,:] weighted (1-ry), cell ybase+i+1
+            # takes it weighted ry (same per-column for rx). Placement is
+            # two dynamic *soft* one-hot contractions — per-axis like the
+            # forward path, with runtime converged positions. Out-of-range
+            # cells match neither tap's comparison (and already carry zero
+            # weight via bvalid).
             ybase = pos_c[:, 1] + lb - 1                      # (N,)
             xbase = pos_c[:, 0] + lb - 1
-            ar = jnp.arange(p1, dtype=jnp.int32)
+            ar = jnp.arange(psz, dtype=jnp.int32)
             yio = jnp.arange(spec.height, dtype=jnp.int32)
             xio = jnp.arange(spec.width, dtype=jnp.int32)
-            ysel = (yio[None, None, :]
-                    == (ybase[None, :, None] + ar[:, None, None])
-                    ).astype(jnp.float32)                     # (P1,N,H)
-            xsel = (xio[None, None, :]
-                    == (xbase[:, None, None] + ar[None, :, None])
-                    ).astype(jnp.float32)                     # (N,P1,W)
-            # x placement: row footprints at their columns (N,P1,H->W dims)
-            vrow = jnp.einsum("nab,nbx->nax", w2, xsel,
-                              precision=hi)                   # (N,P1,W)
+            ycmp = ybase[None, :, None] + ar[:, None, None]   # (P,N,1)
+            ysoft = ((yio[None, None, :] == ycmp).astype(jnp.float32)
+                     * (1 - ry)[None, :, None]
+                     + (yio[None, None, :] == ycmp + 1).astype(jnp.float32)
+                     * ry[None, :, None])                     # (P,N,H)
+            xcmp = xbase[:, None, None] + ar[None, :, None]   # (N,P,1)
+            xsoft = ((xio[None, None, :] == xcmp).astype(jnp.float32)
+                     * (1 - rx)[:, None, None]
+                     + (xio[None, None, :] == xcmp + 1).astype(jnp.float32)
+                     * rx[:, None, None])                     # (N,P,W)
+            # x placement: row footprints at their columns (N,P,W)
+            vrow = jnp.einsum("nab,nbx->nax", babsw, xsoft,
+                              precision=hi)                   # (N,P,W)
             # fold the per-patch field values [1, -p] into the y one-hots,
             # then one dot places every row of every field at once
             cmat = jnp.concatenate(
                 [jnp.ones((1, n_bw), jnp.float32), -compl_res.p.T],
                 axis=0)                                       # (1+nop,N)
-            ysf = ysel[:, :, None, :] * cmat.T[None, :, :, None]
+            ysf = ysoft[:, :, None, :] * cmat.T[None, :, :, None]
             outb = jnp.einsum("aify,iax->fyx", ysf, vrow,
                               precision=hi)                   # (1+nop,H,W)
             we = we + outb[0].reshape(hw)
