@@ -160,7 +160,7 @@ def _dis_flow_core(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
                 spec, params, f))(flow)
         res_fw = patch_solver.optimize_level_batched(
             spec, params, ib, None, p_init, src=(ia, dxa, dya),
-            src_exact=src_exact_fw)
+            src_exact=src_exact_fw, tgt_exact=src_exact_bw)
 
         res_bw = None
         if params.usefbcon:
@@ -172,7 +172,7 @@ def _dis_flow_core(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
                     spec_bw, params, f))(flow_bw)
             res_bw = patch_solver.optimize_level_batched(
                 spec_bw, params, ia, None, p_init_bw, src=(ib, dxb, dyb),
-                src_exact=src_exact_bw)
+                src_exact=src_exact_bw, tgt_exact=src_exact_fw)
 
         def _densify(sp, res, compl):
             # vmap over explicit fields (the batched result's `iters` is a

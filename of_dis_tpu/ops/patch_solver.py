@@ -473,6 +473,28 @@ def _banded_planes_raw(im: jnp.ndarray, hpb: int):
     return jnp.concatenate(_split_bf16(imp), axis=1)   # (C*Hpb, nt*Wp)
 
 
+def _banded_planes_raw_i8(im: jnp.ndarray, hpb: int, lv: int):
+    """Raw int8 hi/lo planes for the fused GN kernel's i8 extraction path.
+
+    u8-sourced level-lv values are exact multiples of 4^-lv in [0, 255]
+    (box means of 4^lv bytes), so u = im * 4^lv is an exact integer in
+    [0, 65535] whenever 8 + 2*lv <= 16 (lv <= 4). Split u into two i8
+    channel planes hi = (u >> 8) - 128, lo = (u & 255) - 128, stacked as
+    2C channels; the kernel contracts them with an i8 one-hot in ONE
+    i8 x i8 -> i32 MXU dot (1.5-1.56x the bf16 term-summed dot's rate,
+    tools/bench_i8_dot.py / bench_gn_stages.py C1) and reconstructs
+    u = 256*hi + lo + 32896 exactly in i32 only after band alignment,
+    so the f32 values the GN math sees are bit-identical to the bf16
+    hi/lo path's. Returns (2*C*hpb, Wp) int8."""
+    c, hp, wp = im.shape
+    u = jnp.round(im * float(4 ** lv)).astype(jnp.int32)
+    hi = jax.lax.shift_right_logical(u, 8) - 128
+    lo = jnp.bitwise_and(u, 255) - 128
+    cat = jnp.concatenate([hi, lo], axis=0).astype(jnp.int8)  # (2C, Hp, Wp)
+    cat = jnp.pad(cat, ((0, 0), (0, hpb - hp), (0, 0)))
+    return cat.reshape(2 * c * hpb, wp)
+
+
 def _gn_windows(psz: int, hp: int):
     """(band window rows WB, padded plane rows hpb, band count) for the
     fused kernel's two-stage row selection. WB covers any (psz+1)-row
@@ -484,19 +506,26 @@ def _gn_windows(psz: int, hp: int):
 
 
 def _pick_gn_bb(b: int, w1: int, c: int, hpb: int, wp: int, d: int, n: int,
-                use_cache: bool = True):
+                use_cache: bool = True, i8: bool = False):
     """Batch block for the fused GN kernel, or None when one pair's working
     set already exceeds the VMEM budget. The extraction-cache carry rows
     only count when the kernel will actually carry them (long loops)."""
     wb = _round_up(w1 - 1 + 8, 8)
     nt = _extract_terms()
-    per = (nt * w1 * c * hpb * wp * 2    # in-VMEM shifted-plane scratch
-           + 2 * nt * c * hpb * wp * 2   # raw plane block (double-buffered)
-           + 2 * w1 * c * hpb * n * 4    # t + shifted copies (transient)
-           + (w1 * c * wb * n * 4 if use_cache else 0)  # cached rows (carry)
-           # tmpl/tdx/tdy + transients (d-sized) + pweight carry/outputs
-           # (channel-summed psz*psz = d//c rows, see _pw_dense)
-           + (5 * d + 2 * (d // c)) * n * 4)
+    if i8:
+        per = (w1 * 2 * c * hpb * wp      # i8 shifted-plane scratch
+               + 2 * 2 * c * hpb * wp     # raw i8 plane block (dbl-buffered)
+               + 3 * w1 * c * hpb * n * 4  # i32 t (2c rows) + transients
+               + (w1 * c * wb * n * 4 if use_cache else 0)
+               + (5 * d + 2 * (d // c)) * n * 4)
+    else:
+        per = (nt * w1 * c * hpb * wp * 2  # in-VMEM shifted-plane scratch
+               + 2 * nt * c * hpb * wp * 2  # raw plane blk (double-buffered)
+               + 2 * w1 * c * hpb * n * 4  # t + shifted copies (transient)
+               + (w1 * c * wb * n * 4 if use_cache else 0)  # cached carry
+               # tmpl/tdx/tdy + transients (d-sized) + pweight carry/outputs
+               # (channel-summed psz*psz = d//c rows, see _pw_dense)
+               + (5 * d + 2 * (d // c)) * n * 4)
     cap = _vmem_cap(10 * 1024 * 1024)
     for cand in (8, 4, 2, 1):
         if b % cand == 0 and cand * per < cap:
@@ -505,7 +534,7 @@ def _pick_gn_bb(b: int, w1: int, c: int, hpb: int, wp: int, d: int, n: int,
 
 
 def _pick_gn_nb(w1: int, c: int, hpb: int, wp: int, d: int, n: int,
-                use_cache: bool = True):
+                use_cache: bool = True, i8: bool = False):
     """Patch block for the N-blocked fused kernel (large op-3/4 levels where
     even a single pair's full patch set exceeds VMEM): largest multiple of
     128 whose per-program working set fits alongside the shared plane
@@ -515,14 +544,17 @@ def _pick_gn_nb(w1: int, c: int, hpb: int, wp: int, d: int, n: int,
     (op-3 L1, estimated 11.4MB at nb=128, compiles and runs)."""
     cap = _vmem_cap(12 * 1024 * 1024 + 512 * 1024)
     # shifted-plane scratch + the raw plane block it is built from
-    planes = (_extract_terms() * w1 * c * hpb * wp * 2
-              + _extract_terms() * c * hpb * wp * 2)
+    if i8:
+        planes = w1 * 2 * c * hpb * wp + 2 * c * hpb * wp
+    else:
+        planes = (_extract_terms() * w1 * c * hpb * wp * 2
+                  + _extract_terms() * c * hpb * wp * 2)
     wb = _round_up(w1 - 1 + 8, 8)
     if planes >= cap:
         return None
     for nb in (1024, 512, 384, 256, 128):
         per = (planes
-               + 2 * w1 * c * hpb * nb * 4
+               + (3 if i8 else 2) * w1 * c * hpb * nb * 4
                + (w1 * c * wb * nb * 4 if use_cache else 0)
                + (5 * d + 2 * (d // c)) * nb * 4)
         if per < cap:
@@ -576,8 +608,17 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
     wb, _, nbands = _gn_windows(psz, spec.padded_height)
     b, chpb, wp2 = lhs.shape
     m_rows = w1 * chpb
-    nterms = wp2 // spec.padded_width      # 2, or 3 in exact-extract mode
+    # int8 extraction path (u8-sourced pyramids, lv <= 4): lhs is the
+    # (2c-channel hi/lo) i8 form of _banded_planes_raw_i8 — ONE
+    # i8 x one-hot -> i32 dot replaces the bf16 term-summed dot, and the
+    # exact 256*hi + lo + 32896 reconstruction runs after band alignment
+    # on the small (w1, 2c, wb, n) window (bit-identical f32 values)
+    i8 = lhs.dtype == jnp.int8
+    assert not (i8 and gpk > 1), "i8 extraction is gpk==1 only"
+    nterms = 1 if i8 else wp2 // spec.padded_width  # 2 (3 in exact mode)
     wp = wp2 // nterms
+    cdot = 2 * c if i8 else c              # channel rows per shift block
+    inv4 = 1.0 / float(4 ** spec.level)
     d = tpl.tmpl.shape[1]
     psz2 = psz * psz                       # pweight output rows (channel-summed)
     n_tot = tpl.tmpl.shape[2]
@@ -604,7 +645,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                         blk = lh_ref[k, :, t * wp + s:(t + 1) * wp]
                         if s:
                             blk = jnp.concatenate(
-                                [blk, jnp.zeros((chpb, s), jnp.bfloat16)],
+                                [blk, jnp.zeros((chpb, s), lh_ref.dtype)],
                                 axis=1)
                         sc_ref[k, s * chpb:(s + 1) * chpb,
                                t * wp:(t + 1) * wp] = blk
@@ -653,28 +694,34 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                 # t-inner, matching the packed lhs layout).
                 cols = jax.lax.broadcasted_iota(jnp.int32, (wp, n), 0)
                 sxk = sx[k:k + 1]
-                m1 = (cols == sxk).astype(jnp.bfloat16)
-                if gpk == 1:
-                    oh = jnp.concatenate([m1] * nterms, axis=0)
+                if i8:
+                    oh = (cols == sxk).astype(jnp.int8)
+                    t = jnp.dot(sc_ref[k], oh,
+                                preferred_element_type=jnp.int32)
                 else:
-                    lane_pair = jax.lax.broadcasted_iota(
-                        jnp.int32, (wp, n), 1) // (n // gpk)
-                    blocks = []
-                    for g in range(gpk):
-                        mg = jnp.where(lane_pair == g, m1,
-                                       jnp.bfloat16(0.0))
-                        blocks.extend([mg] * (nterms // gpk))
-                    oh = jnp.concatenate(blocks, axis=0)
-                t = jnp.dot(sc_ref[k], oh,
-                            preferred_element_type=jnp.float32)
-                t = t.reshape(w1 * c, hpb, n)
+                    m1 = (cols == sxk).astype(jnp.bfloat16)
+                    if gpk == 1:
+                        oh = jnp.concatenate([m1] * nterms, axis=0)
+                    else:
+                        lane_pair = jax.lax.broadcasted_iota(
+                            jnp.int32, (wp, n), 1) // (n // gpk)
+                        blocks = []
+                        for g in range(gpk):
+                            mg = jnp.where(lane_pair == g, m1,
+                                           jnp.bfloat16(0.0))
+                            blocks.extend([mg] * (nterms // gpk))
+                        oh = jnp.concatenate(blocks, axis=0)
+                    t = jnp.dot(sc_ref[k], oh,
+                                preferred_element_type=jnp.float32)
+                t = t.reshape(w1 * cdot, hpb, n)
                 syk = sy[k:k + 1]                        # (1, n)
                 bi = jax.lax.shift_right_logical(syk, 3)
-                tb = jnp.zeros((w1 * c, wb, n), jnp.float32)
+                tb = jnp.zeros((w1 * cdot, wb, n), t.dtype)
                 for band in range(nbands):
                     m = (bi == band)[None]
                     tb = tb + jnp.where(
-                        m, t[:, 8 * band:8 * band + wb, :], 0.0)
+                        m, t[:, 8 * band:8 * band + wb, :],
+                        t.dtype.type(0))
                 s3 = jnp.bitwise_and(syk, 7)
                 a = tb
                 for bit in range(3):
@@ -684,6 +731,12 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                         s3, bit), 1) == 1)[None]
                     a = jnp.where(m, rolled, a)
                 # a[:, j, :] == t[:, sy + j, :] for j in 0..psz
+                if i8:
+                    # exact i32 reconstruction on the aligned window only
+                    a4 = a.reshape(w1, 2, c, wb, n)
+                    ui = a4[:, 0] * 256 + a4[:, 1] + 32896
+                    a = (ui.astype(jnp.float32) * inv4).reshape(
+                        w1 * c, wb, n)
                 outs.append(a)
             return jnp.stack(outs, axis=0)               # (bb, w1c, wb, n)
 
@@ -859,7 +912,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
                           blk_ptr],
                 out_specs=(blk_p, blk_pwo, blk_it),
                 scratch_shapes=[pltpu.VMEM((1, m_rows, wp2),
-                                           jnp.bfloat16)],
+                                           lhs.dtype)],
             )(l1[None], tm1[None], tx1[None], ty1[None], he1[None],
               p01[None], pt_ref_t)
 
@@ -891,7 +944,7 @@ def _gn_fused_pallas(spec: LevelSpec, params: DISParams, lhs,
         in_specs=[blk_lhs, blk_d, blk_d, blk_d, blk_h, blk_p,
                   blk_ptr],
         out_specs=(blk_p, blk_pwo, blk_it),
-        scratch_shapes=[pltpu.VMEM((bb, m_rows, wp2), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((bb, m_rows, wp2), lhs.dtype)],
     )(lhs, tpl.tmpl, tpl.tdx, tpl.tdy, tpl.hes, p_init_t,
       pt_ref_t)
     return p_out, pw_out, jnp.max(it_out)
@@ -1859,11 +1912,13 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
     return jax.lax.cond(nbad <= k_max, tiled, fallback, operand=None)
 
 
-@partial(jax.jit, static_argnames=("spec", "params", "src_exact"))
+@partial(jax.jit, static_argnames=("spec", "params", "src_exact",
+                                   "tgt_exact"))
 def optimize_level_batched(spec: LevelSpec, params: DISParams,
                            im_b: jnp.ndarray, tpl,
                            p_init: jnp.ndarray, src=None,
-                           src_exact: bool = False) -> PatchResult:
+                           src_exact: bool = False,
+                           tgt_exact: bool = False) -> PatchResult:
     """Optimize all patches of one scale for a whole frame-pair batch
     (PatGridClass::Optimize, patchgrid.cpp:134-141 + PatClass::OptimizeIter,
     patch.cpp:156-210).
@@ -1881,6 +1936,12 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
     the in-kernel values are bit-identical to extract_templates') at a
     level where that exactness holds (images need 8+2*lv significand
     bits, Sobel/8 gradients 11+2*lv; hi/lo covers 16).
+
+    `tgt_exact` declares the TARGET pyramid (im_b) u8-sourced: at
+    levels <= 4 the fused kernel then runs its extraction dot in int8
+    (hi/lo channel-stacked planes, _banded_planes_raw_i8) — the dot is
+    97% of the fused kernel (PERF.md ablation) and the i8 MXU rate is
+    ~1.5x bf16's, with bit-identical extracted values.
     """
     psz, pad, nop = params.p_samp_s, spec.pad, params.nop
     noc = params.noc
@@ -1924,12 +1985,16 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
                 if n * cand <= 128 and b % cand == 0:
                     gpk = cand
                     break
+        use_i8 = (tgt_exact and spec.level <= 4 and gpk == 1
+                  and not os.environ.get("OF_DIS_TPU_NO_I8_EXTRACT"))
         bb = _pick_gn_bb(b // gpk, psz + 1, noc, hpb, wp * gpk, d, n * gpk,
-                         use_cache=cache_on)
+                         use_cache=cache_on, i8=use_i8)
         if bb is None and gpk > 1:
             gpk = 1
+            use_i8 = (tgt_exact and spec.level <= 4
+                      and not os.environ.get("OF_DIS_TPU_NO_I8_EXTRACT"))
             bb = _pick_gn_bb(b, psz + 1, noc, hpb, wp, d, n,
-                             use_cache=cache_on)
+                             use_cache=cache_on, i8=use_i8)
         nb = 0
         if bb is None:
             # large op-3/4 levels: one pair's full patch set busts VMEM.
@@ -1954,7 +2019,7 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
             # legacy unwindowed patch-blocking (e.g. RGB fine levels where
             # the tiled geometry does not fit VMEM)
             nb = _pick_gn_nb(psz + 1, noc, hpb, wp, d, n,
-                             use_cache=cache_on)
+                             use_cache=cache_on, i8=use_i8)
             if nb is not None:
                 bb = 1
         if bb is not None:
@@ -1977,7 +2042,11 @@ def optimize_level_batched(spec: LevelSpec, params: DISParams,
                                        pad3(tpl.tdy), hes_pad)
                 p_init_k = pad3(p_init_t)
                 pt_ref_k = pad3(pt_ref_t, v=-1e6)
-            lhs = jax.vmap(lambda x: _banded_planes_raw(x, hpb))(im_b)
+            if use_i8:
+                lhs = jax.vmap(lambda x: _banded_planes_raw_i8(
+                    x, hpb, spec.level))(im_b)
+            else:
+                lhs = jax.vmap(lambda x: _banded_planes_raw(x, hpb))(im_b)
             if gpk > 1:
                 def pack(x):     # (B, K, N) -> (B/g, K, g*N), g-major lanes
                     b_, k_, n_ = x.shape

@@ -201,6 +201,68 @@ def test_exact_extract_mode(monkeypatch):
                                    rtol=0, atol=2e-5)
 
 
+def test_i8_plane_split_reconstructs_exactly():
+    """_banded_planes_raw_i8: u8-sourced level-lv values (exact multiples
+    of 4^-lv) must reconstruct bit-exactly from the hi/lo int8 planes via
+    u = 256*hi + lo + 32896, u * 4^-lv."""
+    rng = np.random.default_rng(5)
+    for lv in (0, 2, 4):
+        hp, wp = 24, 40
+        u = rng.integers(0, 256 * 4 ** lv, size=(1, hp, wp))
+        x = jnp.asarray(u.astype(np.float32) / float(4 ** lv))
+        planes = patch_solver._banded_planes_raw_i8(x, hp + 8, lv)
+        assert planes.dtype == jnp.int8
+        hi, lo = (np.asarray(planes, np.int32)
+                  .reshape(2, hp + 8, wp)[:, :hp])
+        rec = (hi * 256 + lo + 32896).astype(np.float32) / float(4 ** lv)
+        np.testing.assert_array_equal(rec, np.asarray(x[0]))
+
+
+@pytest.mark.parametrize("noc", [1, 3])
+def test_gn_fused_i8_extraction_bit_identical(monkeypatch, noc):
+    """tgt_exact (u8-sourced target pyramid): the fused kernel's int8
+    extraction dot + i32 window reconstruction must produce BIT-IDENTICAL
+    results to the default bf16 hi/lo term-summed dot."""
+    h, w, psz = 40, 48, 8
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=12, min_iter=12, p_samp_s=psz,
+                    patove=0.4, costfct=0, patnorm=1, noc=noc, nop=2,
+                    usetvref=False)
+    spec = make_level_spec(0, w, h, prm)
+    img_a, img_b = _make_pair(h, w, c=noc)
+    # u8-sourced: integer pixel values (level 0 values == the bytes)
+    img_a, img_b = np.round(img_a), np.round(img_b)
+    im_a, dx_a, dy_a, im_b = _level_data(img_a, img_b, psz)
+    tpl = patch_solver.extract_templates(spec, prm, jnp.asarray(im_a),
+                                         jnp.asarray(dx_a),
+                                         jnp.asarray(dy_a))
+    tpl_b = patch_solver.PatchTemplates(*(f[None] for f in tpl))
+    rng = np.random.default_rng(3)
+    p_init = jnp.asarray(rng.standard_normal((spec.nopatches, 2)) * 1.5,
+                         jnp.float32)[None]
+
+    def run(tgt_exact):
+        from jax.experimental import pallas as pl
+        orig = pl.pallas_call
+
+        def patched(*args, **kw):
+            kw.setdefault("interpret", True)
+            return orig(*args, **kw)
+
+        with monkeypatch.context() as m:
+            m.setattr(pl, "pallas_call", patched)
+            m.setattr(patch_solver, "_use_pallas_bilerp", lambda: True)
+            return patch_solver.optimize_level_batched.__wrapped__(
+                spec, prm, jnp.asarray(im_b)[None], tpl_b, p_init,
+                tgt_exact=tgt_exact)
+
+    ref = run(False)
+    got = run(True)
+    np.testing.assert_array_equal(np.asarray(got.p), np.asarray(ref.p))
+    np.testing.assert_array_equal(np.asarray(got.pt), np.asarray(ref.pt))
+    np.testing.assert_array_equal(np.asarray(got.pweight),
+                                  np.asarray(ref.pweight))
+
+
 def test_gn_fused_pair_packed_matches_xla(monkeypatch):
     """Small-grid coarse levels can pack several pairs onto one lane axis
     (gpk > 1, opt-in via OF_DIS_TPU_PAIR_PACK) — must match the XLA path
