@@ -44,8 +44,11 @@ def main():
     for i in range(s):
         base[i, 0] = _bench._blur(base[i, 0])
     u, v = _bench._flow_field(h_org, w_org)
-    frames = np.stack([_bench._warp_pairs(base, k * u, k * v)
-                       for k in range(t)])          # (T, S, C, H, W)
+    # u8 frames (PNG-like, same as bench.py): also enables the tiled GN
+    # kernel's in-kernel template extraction (u8-sourced pyramids)
+    frames = np.stack([np.clip(np.rint(_bench._warp_pairs(
+        base, k * u, k * v)), 0, 255).astype(np.uint8)
+        for k in range(t)])                         # (T, S, C, H, W)
     pad = jax.vmap(jax.vmap(
         lambda x: pyramid.pad_to_divisible(x, params.sc_f)))
     fr = pad(jnp.asarray(frames))
@@ -64,6 +67,30 @@ def main():
     dt = time.perf_counter() - t0
     pairs = s * (t - 1)
     print(f"seq op{op} S={s} T={t}: {pairs / dt:.1f} pairs/s "
+          f"({dt * 1e3 / pairs:.1f} ms/pair)")
+
+    # apples-to-apples reference: the same pairs as one cold batch per step
+    # (batch = S, no warm start, no scan) — isolates the scan/warm-start
+    # overhead from the small-per-step-batch effect
+    a = fr[:-1].reshape((t - 1) * s, *fr.shape[2:])
+    b = fr[1:].reshape((t - 1) * s, *fr.shape[2:])
+
+    def syncb(x):
+        return float(np.asarray(jnp.sum(x[:, :, ::64, ::64])))
+
+    t0 = time.perf_counter()
+    for i in range(t - 1):
+        o = dis.dis_flow_batched(a[i * s:(i + 1) * s], b[i * s:(i + 1) * s],
+                                 params, fw, fh, channels_last=False)
+    syncb(o)
+    print(f"  compile+warm batched-b{s} {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for i in range(t - 1):
+        o = dis.dis_flow_batched(a[i * s:(i + 1) * s], b[i * s:(i + 1) * s],
+                                 params, fw, fh, channels_last=False)
+    syncb(o)
+    dt = time.perf_counter() - t0
+    print(f"cold-batch b={s} x{t - 1}: {pairs / dt:.1f} pairs/s "
           f"({dt * 1e3 / pairs:.1f} ms/pair)")
 
 
