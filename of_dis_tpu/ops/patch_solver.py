@@ -1806,14 +1806,7 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             return (_tile_inv(p_fin, spec, geom),
                     _tile_inv(pw, spec, geom), jnp.max(it_out))
 
-        # ---- bounded per-tile exact recompute (slots: the bad tiles;
-        # pad slots point at tile 0, masked off by slot_bad)
-        slot = jnp.nonzero(~flat_ok, size=k_max, fill_value=0)[0]
-        slot_bad = ~flat_ok[slot]
-        pair_i = slot // t_tiles
-        tile_i = slot % t_tiles
-
-        def fixup(_):
+        def fixup(pair_i, tile_i):
             def g(x, k, pi):
                 return jax.lax.dynamic_slice(
                     x, (pi, 0, tile_i[k] * nb), (1, x.shape[1], nb))[0]
@@ -1866,7 +1859,7 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             return _gn_xla_path(spec, params, im_sel, tpl_fix, p0_fix,
                                 ptr_fix)
 
-        def scat(dst, new):
+        def scat(dst, new, pair_i, tile_i, slot_bad):
             # one batched scatter (k_max sequential dynamic-update-slices
             # on the (B, D, T*nb) buffers measured ~2 ms/batch of chained
             # copies). Duplicate slots (the nonzero fill) always carry
@@ -1884,16 +1877,55 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
         # their p/pweight are replaced below
         it_valid = jnp.max(jnp.where(ok, it_out, 0))
 
-        # The fix-up's slot gathers/scatters (k_max unrolled dynamic
-        # slices per field + two batched scatters on the (B, D, T*nb)
-        # buffers) live INSIDE the nbad>0 cond: on smooth content they
-        # cost real time unconditionally otherwise (~3.5 ms/batch-8 at
-        # op-3 across the levels, device profile r3) while contributing
-        # nothing. Both branches return the same-shaped buffers, so XLA
-        # aliases them through the conditional on the happy path.
+        if not legacy_cond:
+            # ---- chunked exact recompute of ALL bad tiles: a while_loop
+            # over k_max-slot chunks. Zero iterations on smooth content;
+            # one chunk reproduces the old bounded fix-up; many chunks
+            # replace the old whole-level fallback (bit-identical — the
+            # per-patch GN is independent, so re-solving exactly the bad
+            # tiles' patches through the same XLA path gives the same
+            # values). Killing the level-sized lax.cond kills its join
+            # relayout copies too (~3.7 ms/batch-16 at op-3 L1: the cond
+            # was 26.6 ms of device time around a 22.9 ms kernel,
+            # device profile r4).
+            # rounded up to a k_max multiple so the last chunk's
+            # dynamic_slice never clamps (a clamped start would desync
+            # the slot values from the position-based validity mask)
+            n_slots = -(-flat_ok.shape[0] // k_max) * k_max
+            slots_all = jnp.nonzero(~flat_ok, size=n_slots,
+                                    fill_value=0)[0].astype(jnp.int32)
+
+            def chunk_body(carry):
+                c, p_c, pw_c, it_c = carry
+                base_i = c * k_max
+                slot = jax.lax.dynamic_slice(slots_all, (base_i,),
+                                             (k_max,))
+                slot_bad = base_i + jnp.arange(k_max, dtype=jnp.int32) < nbad
+                pair_i = slot // t_tiles
+                tile_i = slot % t_tiles
+                p_fix, pw_fix, it_fix = fixup(pair_i, tile_i)
+                return (c + 1,
+                        scat(p_c, p_fix, pair_i, tile_i, slot_bad),
+                        scat(pw_c, pw_fix, pair_i, tile_i, slot_bad),
+                        jnp.maximum(it_c, it_fix))
+
+            _, p_out, pw_out, it_res = jax.lax.while_loop(
+                lambda s: s[0] * k_max < nbad, chunk_body,
+                (jnp.int32(0), p_fin, pw, it_valid))
+            return (_tile_inv(p_out, spec, geom),
+                    _tile_inv(pw_out, spec, geom), it_res)
+
+        # ---- legacy bounded fix-up (single chunk) + whole-level-fallback
+        # outer cond (OF_DIS_TPU_LEVEL_FALLBACK=1 A/B escape)
+        slot = jnp.nonzero(~flat_ok, size=k_max, fill_value=0)[0]
+        slot_bad = ~flat_ok[slot]
+        pair_i = slot // t_tiles
+        tile_i = slot % t_tiles
+
         def with_fix(_):
-            p_fix, pw_fix, it_fix = fixup(None)
-            return (scat(p_fin, p_fix), scat(pw, pw_fix),
+            p_fix, pw_fix, it_fix = fixup(pair_i, tile_i)
+            return (scat(p_fin, p_fix, pair_i, tile_i, slot_bad),
+                    scat(pw, pw_fix, pair_i, tile_i, slot_bad),
                     jnp.maximum(it_valid, it_fix))
 
         def no_fix(_):
@@ -1909,7 +1941,11 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                   else tpl)
         return _gn_xla_path(spec, params, im_b, tpl_fb, p_init_t, pt_ref_t)
 
-    return jax.lax.cond(nbad <= k_max, tiled, fallback, operand=None)
+    legacy_cond = (k_max == 0
+                   or bool(os.environ.get("OF_DIS_TPU_LEVEL_FALLBACK")))
+    if legacy_cond:
+        return jax.lax.cond(nbad <= k_max, tiled, fallback, operand=None)
+    return tiled(None)
 
 
 @partial(jax.jit, static_argnames=("spec", "params", "src_exact",

@@ -93,11 +93,29 @@ def test_tiled_matches_xla(monkeypatch, noc, nop, costfct, patnorm,
 
 def test_tiled_fallback_on_wild_flow(monkeypatch):
     """Per-tile window validity: a huge-spread init flow exceeds any static
-    window on more than k_max tiles, so the full-fallback lax.cond branch
-    (exact XLA path) must produce the result."""
+    window on more than k_max tiles, so the chunked exact recompute loops
+    over MULTIPLE fix-up chunks (the while_loop that replaced the
+    whole-level-fallback lax.cond) and must reproduce the exact XLA path
+    (with OF_DIS_TPU_LEVEL_FALLBACK=1 the legacy cond route is kept and
+    covered by test_tiled_fixup_disabled_env's k_max==0 path)."""
     prm, spec, im_b, tpl = _setup()
     n = spec.nopatches
     rng = np.random.default_rng(2)
+    p_init = jnp.asarray(rng.uniform(-60, 60, (n, 2)).astype(np.float32))
+    want = _run(prm, spec, im_b, tpl, p_init, "xla", monkeypatch)
+    got = _run(prm, spec, im_b, tpl, p_init, "tiled", monkeypatch)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_legacy_level_fallback_env(monkeypatch):
+    """OF_DIS_TPU_LEVEL_FALLBACK=1 restores the round-3 structure (bounded
+    single-chunk fix-up + whole-level-fallback lax.cond) — wild flow must
+    still match the exact XLA path through the cond route."""
+    monkeypatch.setenv("OF_DIS_TPU_LEVEL_FALLBACK", "1")
+    prm, spec, im_b, tpl = _setup()
+    n = spec.nopatches
+    rng = np.random.default_rng(7)
     p_init = jnp.asarray(rng.uniform(-60, 60, (n, 2)).astype(np.float32))
     want = _run(prm, spec, im_b, tpl, p_init, "xla", monkeypatch)
     got = _run(prm, spec, im_b, tpl, p_init, "tiled", monkeypatch)
