@@ -113,25 +113,33 @@ def aggregate_flow_dense(spec: LevelSpec, params: DISParams, res: PatchResult,
     pixw = _pixel_weights(res.pweight)                  # (P,P,N)
     q_nat = pixw.reshape(psz, psz * nopw, noph)         # (oy, (ox,ix), iy)
 
-    # weight map + the nop weighted-flow maps ride one pair of dots:
-    # stack along the (ox,ix) axis -> (oy, (1+nop)*psz*nopw, iy)
+    # weight map + the nop weighted-flow maps: one pair of dots PER FIELD.
+    # The round-3 form concatenated the three fields along the (ox,ix)
+    # axis to ride one big dot — but the concatenate materializes a
+    # (1+nop)x copy of the weight maps (~1.2 ms/batch-16 at the op-3 fine
+    # level, device profile r4) and its joint output lands in an exotic
+    # {1,0,3,2} layout the consumer pays another 0.9 ms to unpack.
+    # Per-field dots have identical contraction order (bit-identical
+    # sums), skip both copies, and emit canonical (H, W) planes.
     p4 = res.p.reshape(nopw, noph, nop)                 # (ix, iy, ch)
     pch_ox = [jnp.broadcast_to(p4[None, :, :, ch], (psz, nopw, noph))
               .reshape(psz * nopw, noph) for ch in range(nop)]
-    q_all = jnp.concatenate([q_nat]
-                            + [q_nat * p[None] for p in pch_ox], axis=1)
+    fields = [q_nat] + [q_nat * p[None] for p in pch_ox]
 
     hi = jax.lax.Precision.HIGHEST   # full f32: the replaced gather-add
     u4 = u.reshape(h, psz, noph)     # loop was exact f32
-    # sum_{oy,iy} u4[h,oy,iy] * q_all[oy,k,iy] -> (H, (1+nop)*psz*nopw)
-    b2 = jax.lax.dot_general(u4, q_all, (((1, 2), (0, 2)), ((), ())),
-                             precision=hi)
-    b3 = b2.reshape(h, 1 + nop, psz * nopw)
-    # sum_{ox,ix} b3[h,k,(ox,ix)] * v[w,(ox,ix)] -> (H, 1+nop, W)
-    out = jax.lax.dot_general(b3, v, (((2,), (1,)), ((), ())),
-                              precision=hi)
-    we = out[:, 0, :].reshape(hw)
-    flow = jnp.moveaxis(out[:, 1:, :], 1, 2).reshape(hw, nop)
+
+    def dens(q):
+        # sum_{oy,iy} u4[h,oy,iy] * q[oy,(ox,ix),iy] -> (H, psz*nopw),
+        # then sum_{ox,ix} against v[w,(ox,ix)] -> (H, W)
+        b2 = jax.lax.dot_general(u4, q, (((1, 2), (0, 2)), ((), ())),
+                                 precision=hi)
+        return jax.lax.dot_general(b2, v, (((1,), (1,)), ((), ())),
+                                   precision=hi)
+
+    outs = [dens(q) for q in fields]
+    we = outs[0].reshape(hw)
+    flow = jnp.stack(outs[1:], axis=-1).reshape(hw, nop)
 
     if compl_res is not None:
         # backward merge (patchgrid.cpp:278-375); bilinear splat at the

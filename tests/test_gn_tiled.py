@@ -171,6 +171,50 @@ def test_tiled_single_bad_tile_fixup(monkeypatch):
                                rtol=1e-3, atol=5e-2)
 
 
+def test_tiled_multichunk_fixup(monkeypatch):
+    """The chunked recompute must iterate MULTIPLE while_loop chunks and
+    still match the exact XLA path: poison several tiles and cap the chunk
+    size at one slot (OF_DIS_TPU_TILE_FIXUP_MAX=1 -> nbad chunks). Also
+    covers the last-chunk boundary when the slot table rounds up."""
+    monkeypatch.setenv("OF_DIS_TPU_TILE_FIXUP_MAX", "1")
+    h2, w2 = 160, 200
+    psz = 8
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=8, min_iter=8, p_samp_s=psz,
+                    patove=0.4, costfct=0, patnorm=1, noc=1, nop=2,
+                    usetvref=False)
+    spec = make_level_spec(0, w2, h2, prm)
+    img_a, img_b = _make_pair(h2, w2, seed=9)
+    im_a, dx_a, dy_a, im_b = _level_data(img_a, img_b, psz)
+    tpl = patch_solver.extract_templates(spec, prm, jnp.asarray(im_a),
+                                         jnp.asarray(dx_a),
+                                         jnp.asarray(dy_a))
+    geom = patch_solver._pick_tile_geom(spec, prm)
+    n = spec.nopatches
+    rng = np.random.default_rng(9)
+    p_init = rng.normal(0, 1.0, (n, 2)).astype(np.float32)
+    perm, _, t_tiles = patch_solver._tile_perm(spec, geom)
+    assert t_tiles >= 3
+    ptr_np = np.asarray(patch_solver.grid_ref_points(spec))
+    lo, hi = float(spec.tmp_lb) + 1.0, float(spec.tmp_ubh) - 1.0
+    for ti in range(3):                    # poison three distinct tiles
+        tk = perm[ti * geom.nb:(ti + 1) * geom.nb]
+        tk = tk[tk >= 0]
+        p_init[tk[0], 1] = hi - ptr_np[tk[0], 1]
+        p_init[tk[-1], 1] = lo - ptr_np[tk[-1], 1]
+    p_init = jnp.asarray(p_init)
+    ptr = patch_solver.grid_ref_points(spec).T[None]
+    *_, ok = patch_solver._tile_windows(
+        spec, prm, geom, jnp.swapaxes(p_init, 0, 1)[None], ptr, 1)
+    assert int((~np.asarray(ok)).sum()) >= 3   # >= 3 one-slot chunks
+    want = _run(prm, spec, im_b, tpl, p_init, "xla", monkeypatch)
+    got = _run(prm, spec, im_b, tpl, p_init, "tiled", monkeypatch)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.pweight),
+                               np.asarray(want.pweight),
+                               rtol=1e-3, atol=5e-2)
+
+
 def test_tiled_init_oob_patches(monkeypatch):
     """Init-OOB patches inside the tiled kernel keep p = p_init and the
     documented template pweight; in-bounds patches are unaffected."""
