@@ -1900,7 +1900,17 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 base_i = c * k_max
                 slot = jax.lax.dynamic_slice(slots_all, (base_i,),
                                              (k_max,))
-                slot_bad = base_i + jnp.arange(k_max, dtype=jnp.int32) < nbad
+                # slot_bad MUST be validity-based (like the legacy path
+                # below), not position-based: pad slots beyond nbad carry
+                # fill slot 0, and if flat slot 0 is itself invalid a
+                # position mask would make the pad slots write the tiled
+                # kernel's garbage `cur` for (pair 0, tile 0) while the
+                # real slot writes the fix — duplicate-index .at[].set
+                # order is undefined, so the fix could be dropped. With
+                # ~flat_ok[slot], every duplicate of a bad slot carries
+                # the identical recomputed value (fixup is deterministic
+                # per (pair, tile)), so scatter order cannot matter.
+                slot_bad = ~flat_ok[slot]
                 pair_i = slot // t_tiles
                 tile_i = slot % t_tiles
                 p_fix, pw_fix, it_fix = fixup(pair_i, tile_i)

@@ -171,6 +171,55 @@ def test_tiled_single_bad_tile_fixup(monkeypatch):
                                rtol=1e-3, atol=5e-2)
 
 
+def test_tiled_slot0_bad_pad_collision(monkeypatch):
+    """Poison flat slot 0 (pair 0, FIRST tile in tiled order) with the
+    default k_max, so nbad < k_max and the chunk's pad slots (nonzero
+    fill_value=0) all point at the same (pair 0, tile 0) the real slot
+    fixes. slot_bad must be validity-based (~flat_ok[slot]) so every
+    duplicate of that index carries the identical recomputed value —
+    a position-based mask would make the pads write the tiled kernel's
+    garbage output and the undefined duplicate-scatter order could
+    drop the fix."""
+    h2, w2 = 160, 200
+    psz = 8
+    prm = DISParams(sc_f=0, sc_l=0, max_iter=8, min_iter=8, p_samp_s=psz,
+                    patove=0.4, costfct=0, patnorm=1, noc=1, nop=2,
+                    usetvref=False)
+    spec = make_level_spec(0, w2, h2, prm)
+    img_a, img_b = _make_pair(h2, w2, seed=5)
+    im_a, dx_a, dy_a, im_b = _level_data(img_a, img_b, psz)
+    tpl = patch_solver.extract_templates(spec, prm, jnp.asarray(im_a),
+                                         jnp.asarray(dx_a),
+                                         jnp.asarray(dy_a))
+    geom = patch_solver._pick_tile_geom(spec, prm)
+    n = spec.nopatches
+    rng = np.random.default_rng(5)
+    p_init = rng.normal(0, 1.0, (n, 2)).astype(np.float32)
+    perm, _, t_tiles = patch_solver._tile_perm(spec, geom)
+    tile0 = perm[:geom.nb]
+    tile0 = tile0[tile0 >= 0]
+    ptr_np = np.asarray(patch_solver.grid_ref_points(spec))
+    lo, hi = float(spec.tmp_lb) + 1.0, float(spec.tmp_ubh) - 1.0
+    p_init[tile0[0], 1] = hi - ptr_np[tile0[0], 1]
+    p_init[tile0[-1], 1] = lo - ptr_np[tile0[-1], 1]
+    p_init = jnp.asarray(p_init)
+    ptr = patch_solver.grid_ref_points(spec).T[None]
+    *_, ok = patch_solver._tile_windows(
+        spec, prm, geom, jnp.swapaxes(p_init, 0, 1)[None], ptr, 1)
+    okm = np.asarray(ok).reshape(-1)
+    assert not okm[0]                      # flat slot 0 itself is invalid
+    nbad = int((~okm).sum())
+    k_max = min(16, max(4, 2 * 1))         # the default k_max at b=1
+    assert nbad < k_max                    # => pad slots exist in the chunk
+    want = _run(prm, spec, im_b, tpl, p_init, "xla", monkeypatch)
+    got = _run(prm, spec, im_b, tpl, p_init, "tiled", monkeypatch)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.pweight),
+                               np.asarray(want.pweight),
+                               rtol=1e-3, atol=5e-2)
+
+
 def test_tiled_multichunk_fixup(monkeypatch):
     """The chunked recompute must iterate MULTIPLE while_loop chunks and
     still match the exact XLA path: poison several tiles and cap the chunk
