@@ -69,11 +69,11 @@ def _spatial_tv_route(b: int, h: int, w: int, nop: int):
     if b * _TV_FIELDS * h * w * 4 < _SPATIAL_TV["min_bytes"]:
         return None
     n = mesh.shape[_SPATIAL_TV["axis_name"]]
-    # the shard height must also be EVEN: sor_coupled_rb's checkerboard
-    # uses local parity, which only matches global parity when every shard
-    # starts on an even global row (spatial.py asserts this at trace time
-    # — e.g. 1080 rows over 8 devices = 135/shard would crash the route)
-    if h % n != 0 or (h // n) % 2 != 0:
+    # any shard height works: spatial.py threads each shard's global
+    # row-origin parity into the red-black sweeps (solver.c:34-78 has no
+    # size restriction either); only the even-division shard_map
+    # requirement remains
+    if h % n != 0:
         return None
     return mesh
 

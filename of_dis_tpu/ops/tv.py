@@ -966,17 +966,22 @@ def _neighbor_sum(x, wh, wv, up_w, left_w):
 
 
 def sor_coupled_rb(du, dv, a11, a12, a22, b1, b2, wh, wv, iterations: int,
-                   omega: float):
+                   omega: float, row_parity=0):
     """Coupled 2x2 SOR on the 5-point stencil, red-black ordering.
 
     Per-pixel update identical to sor_coupled_slow_but_readable
     (solver.c:34-78): du then dv, dv using the freshly updated du. Red-black
     replaces the raster sweep (see module docstring). All iteration-invariant
     terms (neighbor weights, diagonal reciprocals) are hoisted out of the
-    color steps."""
+    color steps.
+
+    row_parity (static or traced int scalar) offsets the checkerboard's row
+    colour: a row-sharded caller whose local block starts at an ODD global
+    row passes 1 so the local colours coincide with the unsharded sweep's
+    (parallel.spatial threads each shard's global row-origin parity here)."""
     ii = (jax.lax.broadcasted_iota(jnp.int32, du.shape, du.ndim - 2)
           + jax.lax.broadcasted_iota(jnp.int32, du.shape, du.ndim - 1))
-    red = (ii % 2 == 0)
+    red = ((ii + row_parity) % 2 == 0)
     up_w, left_w, wsum = _weight_shifts(wh, wv)
     om_a11 = omega / (a11 + wsum)
     om_a22 = omega / (a22 + wsum)
@@ -1000,12 +1005,13 @@ def sor_coupled_rb(du, dv, a11, a12, a22, b1, b2, wh, wv, iterations: int,
     return du, dv
 
 
-def sor_de_rb(du, a11, b1, wh, wv, iterations: int, omega: float):
+def sor_de_rb(du, a11, b1, wh, wv, iterations: int, omega: float,
+              row_parity=0):
     """1-D depth SOR (sor_coupled_slow_but_readable_DE, solver.c:439-471),
-    red-black ordering."""
+    red-black ordering. row_parity as in sor_coupled_rb."""
     ii = (jax.lax.broadcasted_iota(jnp.int32, du.shape, du.ndim - 2)
           + jax.lax.broadcasted_iota(jnp.int32, du.shape, du.ndim - 1))
-    red = (ii % 2 == 0)
+    red = ((ii + row_parity) % 2 == 0)
     up_w, left_w, wsum = _weight_shifts(wh, wv)
     om_a11 = omega / (a11 + wsum)
 

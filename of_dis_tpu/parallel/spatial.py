@@ -120,21 +120,24 @@ def _shard_prologue(flow_fields, im1, im2, *, axis_name, n_shards, gh,
 
     flow_fields: (wx,) for depth (wy == 0) or (wx, wy) for flow — the
     depth path pays a single-field halo exchange. Returns (padded flows
-    tuple, warp mask, i_fields, _rep, not_last, d)."""
+    tuple, warp mask, i_fields, _rep, not_last, d, parity) — parity is
+    the padded block's global row-origin parity, to be threaded into the
+    red-black sweeps so local checkerboard colours coincide with the
+    unsharded sweep's at ANY shard height (solver.c:34-78 has no size
+    restriction; neither should the sharded route)."""
     hl, _ = flow_fields[0].shape
     d = halo_depth(n_inner, n_solver)   # always even (4 + n_inner*even)
     if n_shards > 1:
         assert d <= hl, (
             f"halo depth {d} exceeds shard height {hl}; use fewer shards")
-        # sor_coupled_rb's checkerboard uses LOCAL (row+col) parity; the
-        # padded block starts at global row idx*hl - d, which must be even
-        # for every shard so local and global colors coincide (d is even).
-        assert hl % 2 == 0, "shard height must be even for red-black parity"
     padded = _exchange_flow_halo(*flow_fields, d=d, axis_name=axis_name,
                                  n_shards=n_shards)
     if len(flow_fields) == 1:
         padded = (padded,)
     gy0 = jax.lax.axis_index(axis_name) * hl - d
+    # d is even, so the parity of the padded block's first global row is
+    # idx*hl mod 2 (0 for even shard heights; alternating for odd ones)
+    parity = (jax.lax.axis_index(axis_name) * hl) % 2
 
     # local de-pad of the replicated images to this shard's padded rows:
     # global rows are clamped into [0, gh) to mirror the replicated halo fill
@@ -172,7 +175,7 @@ def _shard_prologue(flow_fields, im1, im2, *, axis_name, n_shards, gh,
     # in the unsharded solver)
     grow = grow_v[:, None]
     not_last = ((grow >= 0) & (grow < gh - 1)).astype(jnp.float32)
-    return padded, mask, i_fields, _rep, not_last, d
+    return padded, mask, i_fields, _rep, not_last, d, parity
 
 
 def _local_ref_level_of(wx, wy, im1, im2, *, axis_name, n_shards, gh,
@@ -181,7 +184,7 @@ def _local_ref_level_of(wx, wy, im1, im2, *, axis_name, n_shards, gh,
     """Shard-local body: runs inside shard_map. wx/wy (hL, W) local rows;
     im1/im2 (C, H, W) replicated."""
     hl = wx.shape[0]
-    (wxp, wyp), mask, i_fields, _rep, not_last, d = _shard_prologue(
+    (wxp, wyp), mask, i_fields, _rep, not_last, d, parity = _shard_prologue(
         (wx, wy), im1, im2, axis_name=axis_name, n_shards=n_shards, gh=gh,
         n_inner=n_inner, n_solver=n_solver)
 
@@ -202,7 +205,7 @@ def _local_ref_level_of(wx, wy, im1, im2, *, axis_name, n_shards, gh,
         b1 = tv.sub_laplacian(b1, wxp, wh, wv)
         b2 = tv.sub_laplacian(b2, wyp, wh, wv)
         du, dv = tv.sor_coupled_rb(du, dv, a11, a12, a22, b1, b2, wh, wv,
-                                   n_solver, omega)
+                                   n_solver, omega, row_parity=parity)
         return du, dv, wxp + du, wyp + dv
 
     zero = jnp.zeros_like(wxp)
@@ -219,7 +222,7 @@ def _local_ref_level_de(wx, im1, im2, *, axis_name, n_shards, gh, noc,
     derivative stencils, smoothness coupling and red-black solver still
     reach across rows — the halo machinery is identical to the flow body)."""
     hl = wx.shape[0]
-    (wxp,), mask, i_fields, _rep, not_last, d = _shard_prologue(
+    (wxp,), mask, i_fields, _rep, not_last, d, parity = _shard_prologue(
         (wx,), im1, im2, axis_name=axis_name, n_shards=n_shards, gh=gh,
         n_inner=n_inner, n_solver=n_solver)
     zeros = jnp.zeros_like(wxp)
@@ -234,7 +237,8 @@ def _local_ref_level_de(wx, im1, im2, *, axis_name, n_shards, gh, noc,
         else:
             a11, b1 = tv.compute_data_de_rgb(mask, du, i_fields, hd3, hg3)
         b1 = tv.sub_laplacian(b1, wxp, wh, wv)
-        du = tv.sor_de_rb(du, a11, b1, wh, wv, n_solver, omega)
+        du = tv.sor_de_rb(du, a11, b1, wh, wv, n_solver, omega,
+                          row_parity=parity)
         uu = wxp + du
         if camlr == 0:
             uu = jnp.minimum(uu, 0.0)
