@@ -31,44 +31,24 @@ from of_dis_tpu.ops import densify, patch_solver, pyramid, tv
 from of_dis_tpu.params import DISParams, make_level_spec
 
 
-# Spatial (row-sharded) TV routing: when a mesh is registered here and a
-# level's TV working set exceeds min_bytes, _tv_refine dispatches to
-# parallel.spatial.tv_refine_spatial (frames too large for one chip —
-# SURVEY.md §5 long-context analogue). Off by default: single-chip runs
-# never pay for the shard_map.
-_SPATIAL_TV = {"mesh": None, "min_bytes": None, "axis_name": "rows"}
+# Spatial (row-sharded) TV routing: when params carry a spatial_tv_mesh
+# and a level's TV working set exceeds params.spatial_tv_min_bytes,
+# _tv_refine dispatches to parallel.spatial.tv_refine_spatial (frames too
+# large for one chip — SURVEY.md §5 long-context analogue). The route
+# lives INSIDE the static DISParams (params.with_spatial_tv), so it is
+# part of every jit cache key — no module-global trace-time state, no
+# manual cache clearing.
 _TV_FIELDS = 26   # ~fields of (H, W) f32 live per pair in the TV loop
 
 
-def set_spatial_tv_mesh(mesh, min_bytes: Optional[int] = None,
-                        axis_name: str = "rows") -> None:
-    """Register (or clear, with mesh=None) a 1-D device mesh for row-sharded
-    TV refinement of levels whose working set exceeds min_bytes (default
-    ~one v5e chip's comfortable share: 4 GB).
-
-    The routing decision is trace-time state invisible to the jit cache
-    keys, so the model entry points' caches are dropped here — otherwise a
-    same-shape call compiled before registration would silently keep its
-    baked-in (un)routed executable."""
-    _SPATIAL_TV["mesh"] = mesh
-    _SPATIAL_TV["min_bytes"] = (4 << 30) if min_bytes is None else min_bytes
-    _SPATIAL_TV["axis_name"] = axis_name
-    for fn in (dis_flow, dis_flow_batched, dis_sequence,
-               dis_sequence_batched):
-        try:
-            fn.clear_cache()
-        except AttributeError:
-            pass
-
-
-def _spatial_tv_route(b: int, h: int, w: int, nop: int):
-    """The registered mesh, if this level should be row-sharded over it."""
-    mesh = _SPATIAL_TV["mesh"]
+def _spatial_tv_route(b: int, h: int, w: int, params: DISParams):
+    """params.spatial_tv_mesh, if this level should be row-sharded over it."""
+    mesh = params.spatial_tv_mesh
     if mesh is None:
         return None
-    if b * _TV_FIELDS * h * w * 4 < _SPATIAL_TV["min_bytes"]:
+    if b * _TV_FIELDS * h * w * 4 < params.spatial_tv_min_bytes:
         return None
-    n = mesh.shape[_SPATIAL_TV["axis_name"]]
+    n = mesh.shape[params.spatial_tv_axis]
     # any shard height works: spatial.py threads each shard's global
     # row-origin parity into the red-black sweeps (solver.c:34-78 has no
     # size restriction either); only the even-division shard_map
@@ -94,19 +74,19 @@ def _tv_refine(flow: jnp.ndarray, im_a, im_b, spec, params: DISParams,
               delta=params.tv_delta, n_inner=n_inner,
               n_solver=params.tv_solverit, omega=params.tv_sor)
     mesh = _spatial_tv_route(flow.shape[0], im1.shape[2], im1.shape[3],
-                             params.nop)
+                             params)
     if mesh is not None:
         from of_dis_tpu.parallel import spatial
 
         if params.nop == 2:
             outs = [spatial.tv_refine_spatial(
                 mesh, flow[k], im1[k], im2[k],
-                axis_name=_SPATIAL_TV["axis_name"], **kw)
+                axis_name=params.spatial_tv_axis, **kw)
                 for k in range(flow.shape[0])]
         else:
             outs = [spatial.tv_refine_spatial_de(
                 mesh, flow[k, :, :, 0], im1[k], im2[k], camlr=camlr,
-                axis_name=_SPATIAL_TV["axis_name"], **kw)[..., None]
+                axis_name=params.spatial_tv_axis, **kw)[..., None]
                 for k in range(flow.shape[0])]
         return jnp.stack(outs, axis=0)
     if params.nop == 2:

@@ -72,6 +72,17 @@ class DISParams:
     nop: int = 2               # parameters per pixel: 2 flow, 1 depth
     noc: int = 1               # channels: 1 gray, 3 RGB
 
+    # Spatial (row-sharded) TV routing: a 1-D jax.sharding.Mesh (hashable,
+    # so it participates in the jit cache key — a route change can never
+    # silently reuse a stale executable) routes TV refinement of levels
+    # whose working set exceeds spatial_tv_min_bytes through
+    # parallel.spatial's ICI halo-exchange path. None (default): always
+    # single-chip whole-frame TV. Use with_spatial_tv() to derive a routed
+    # parameter set.
+    spatial_tv_mesh: object = None            # Optional[jax.sharding.Mesh]
+    spatial_tv_min_bytes: int = 4 << 30
+    spatial_tv_axis: str = "rows"
+
     @property
     def steps(self) -> int:
         # reference: oflow.cpp:90
@@ -95,6 +106,20 @@ class DISParams:
     def dp_thresh_sq(self) -> float:
         # reference: oflow.cpp:87
         return self.dp_thresh * self.dp_thresh
+
+
+def with_spatial_tv(params: DISParams, mesh, min_bytes: int = None,
+                    axis_name: str = "rows") -> DISParams:
+    """Derive a parameter set that routes large-level TV refinement through
+    the row-sharded spatial path over `mesh` (mesh=None clears the route).
+
+    The route travels inside the (static, hashable) DISParams, so it is
+    part of every entry point's jit cache key — unlike module-global
+    registration, a route change re-traces by construction."""
+    return dataclasses.replace(
+        params, spatial_tv_mesh=mesh,
+        spatial_tv_min_bytes=(4 << 30) if min_bytes is None else min_bytes,
+        spatial_tv_axis=axis_name)
 
 
 def op_point_params(width: int, sel_oppoint: int = 2, *, nop: int = 2,

@@ -108,15 +108,15 @@ def test_spatial_tv_2d_mesh_pairs_x_rows():
 
 def test_model_level_spatial_tv_dispatch():
     """Size-based dispatch from the model's _tv_refine to the row-sharded
-    spatial TV: with a mesh registered and a threshold below the finest
-    level's working set, dis' core pipeline must route that level through
-    spatial.tv_refine_spatial and still match the unrouted result."""
+    spatial TV: with a mesh carried in params and a threshold below the
+    finest level's working set, dis' core pipeline must route that level
+    through spatial.tv_refine_spatial and still match the unrouted result."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh
     from of_dis_tpu.models import dis
-    from of_dis_tpu.params import DISParams
+    from of_dis_tpu.params import DISParams, with_spatial_tv
 
     h, w = 128, 256
     params = DISParams(sc_f=1, sc_l=0, max_iter=4, min_iter=4, p_samp_s=8,
@@ -129,13 +129,10 @@ def test_model_level_spatial_tv_dispatch():
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
     # threshold between the L1 (64x128) and L0 (128x256) working sets:
     # only the finest level routes through the spatial path
-    dis.set_spatial_tv_mesh(mesh, min_bytes=2 << 20)
-    try:
-        assert dis._spatial_tv_route(1, h, w, 2) is mesh
-        assert dis._spatial_tv_route(1, h // 2, w // 2, 2) is None
-        got = dis._dis_flow_core(im_a, im_b, params, w, h)
-    finally:
-        dis.set_spatial_tv_mesh(None)
+    routed = with_spatial_tv(params, mesh, min_bytes=2 << 20)
+    assert dis._spatial_tv_route(1, h, w, routed) is mesh
+    assert dis._spatial_tv_route(1, h // 2, w // 2, routed) is None
+    got = dis._dis_flow_core(im_a, im_b, routed, w, h)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
@@ -147,7 +144,7 @@ def test_model_spatial_tv_dispatch_1080p_level():
     unsharded kernel on the same level."""
     import jax
     from of_dis_tpu.models import dis
-    from of_dis_tpu.params import DISParams, make_level_spec
+    from of_dis_tpu.params import DISParams, make_level_spec, with_spatial_tv
 
     h, w = 1080, 1920
     params = DISParams(sc_f=0, sc_l=0, max_iter=1, min_iter=1, p_samp_s=8,
@@ -168,45 +165,48 @@ def test_model_spatial_tv_dispatch_1080p_level():
     # parity threading must route it and match the unsharded kernel
     # (round-4 verdict weak #2: the route used to silently refuse this).
     mesh8 = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
-    dis.set_spatial_tv_mesh(mesh8, min_bytes=64 << 20)
-    try:
-        assert dis._spatial_tv_route(1, h, w, 2) is mesh8
-        got8 = dis._tv_refine(flow, im_a, im_b, spec, params, camlr=0)
-    finally:
-        dis.set_spatial_tv_mesh(None)
+    routed8 = with_spatial_tv(params, mesh8, min_bytes=64 << 20)
+    assert dis._spatial_tv_route(1, h, w, routed8) is mesh8
+    got8 = dis._tv_refine(flow, im_a, im_b, spec, routed8, camlr=0)
     np.testing.assert_allclose(np.asarray(got8), np.asarray(want),
                                atol=2e-4)
     mesh = Mesh(np.asarray(jax.devices()[:4]), ("rows",))
-    dis.set_spatial_tv_mesh(mesh, min_bytes=64 << 20)
-    try:
-        assert dis._spatial_tv_route(1, h, w, 2) is mesh
-        got = dis._tv_refine(flow, im_a, im_b, spec, params, camlr=0)
-    finally:
-        dis.set_spatial_tv_mesh(None)
+    routed4 = with_spatial_tv(params, mesh, min_bytes=64 << 20)
+    assert dis._spatial_tv_route(1, h, w, routed4) is mesh
+    got = dis._tv_refine(flow, im_a, im_b, spec, routed4, camlr=0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4)
 
 
-def test_spatial_mesh_registration_drops_jit_caches():
-    """The spatial-TV route is trace-time state: registering/clearing the
-    mesh must drop the jitted entry points' caches so a same-shape call
-    re-traces with the new routing (review finding: a warmup call before
-    set_spatial_tv_mesh otherwise pins the unrouted executable)."""
+def test_spatial_route_in_params_is_cache_keyed():
+    """The spatial-TV route travels inside the static DISParams, so a
+    routed and an unrouted call with identical shapes are DIFFERENT jit
+    cache entries by construction — no manual cache clearing exists to
+    forget (round-4 verdict weak #7: the module-global registry needed a
+    hardcoded clear_cache list that new entry points could silently miss)."""
     import numpy as np
+    import jax
     import jax.numpy as jnp
+    from jax.sharding import Mesh
     from of_dis_tpu.models import dis
-    from of_dis_tpu.params import DISParams
+    from of_dis_tpu.params import DISParams, with_spatial_tv
 
-    h, w = 32, 64
+    h, w = 128, 64   # L1 shards 32 rows >= halo depth 20, L0 64 >= 12
     params = DISParams(sc_f=1, sc_l=0, max_iter=2, min_iter=2, p_samp_s=8,
                        patove=0.4, noc=1, nop=2, usetvref=True)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("rows",))
+    routed = with_spatial_tv(params, mesh, min_bytes=0)
+    assert routed != params and hash(routed) != hash(params)
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.random((1, 1, h, w)), jnp.float32)
     b = jnp.asarray(rng.random((1, 1, h, w)), jnp.float32)
-    dis.dis_flow_batched(a, b, params, w, h).block_until_ready()
-    assert dis.dis_flow_batched._cache_size() >= 1
-    dis.set_spatial_tv_mesh(None)
-    assert dis.dis_flow_batched._cache_size() == 0
+    # warm the unrouted executable first, then call with the routed params:
+    # the result must reflect the route (here: identical values, but traced
+    # fresh — the sharded path matches the unsharded kernel)
+    want = dis.dis_flow_batched(a, b, params, w, h)
+    got = dis.dis_flow_batched(a, b, routed, w, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)
 
 
 def test_spatial_tv_depth_matches_unsharded():
@@ -236,7 +236,7 @@ def test_model_level_spatial_tv_depth_dispatch():
     unsharded run (round-2 verdict: nop=1 previously bailed at the route)."""
     import jax
     from of_dis_tpu.models import dis
-    from of_dis_tpu.params import DISParams
+    from of_dis_tpu.params import DISParams, with_spatial_tv
 
     h, w = 128, 256
     params = DISParams(sc_f=1, sc_l=0, max_iter=4, min_iter=4, p_samp_s=8,
@@ -247,11 +247,8 @@ def test_model_level_spatial_tv_depth_dispatch():
 
     want = dis._dis_flow_core(im_a, im_b, params, w, h)
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
-    dis.set_spatial_tv_mesh(mesh, min_bytes=2 << 20)
-    try:
-        assert dis._spatial_tv_route(1, h, w, 1) is mesh
-        got = dis._dis_flow_core(im_a, im_b, params, w, h)
-    finally:
-        dis.set_spatial_tv_mesh(None)
+    routed = with_spatial_tv(params, mesh, min_bytes=2 << 20)
+    assert dis._spatial_tv_route(1, h, w, routed) is mesh
+    got = dis._dis_flow_core(im_a, im_b, routed, w, h)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
