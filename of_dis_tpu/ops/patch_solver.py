@@ -1806,7 +1806,28 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             return (_tile_inv(p_fin, spec, geom),
                     _tile_inv(pw, spec, geom), jnp.max(it_out))
 
-        def fixup(pair_i, tile_i):
+        nty = -(-spec.noph // geom.ty)
+        ntx = -(-spec.nopw // geom.tx)
+
+        def _tpl_cm_padded():
+            # templates were never materialized on the inkernel route:
+            # build them in column-major order and pad the grid axes to
+            # whole tiles, so the per-chunk gather is k_max cheap
+            # dynamic slices (the build + pad is the expensive part —
+            # callers hoist it: the legacy path inside its nbad>0 cond,
+            # the chunked path into a once-per-level lax.cond in chunk 0)
+            tpl_cm = _batched_templates(spec, params, src)
+
+            def padf(x):
+                return jnp.pad(
+                    x.reshape(b, x.shape[1], spec.nopw, spec.noph),
+                    ((0, 0), (0, 0), (0, ntx * geom.tx - spec.nopw),
+                     (0, nty * geom.ty - spec.noph)))
+
+            return PatchTemplates(padf(tpl_cm.tmpl), padf(tpl_cm.tdx),
+                                  padf(tpl_cm.tdy), padf(tpl_cm.hes))
+
+        def fixup(pair_i, tile_i, tpl_pad=None):
             def g(x, k, pi):
                 return jax.lax.dynamic_slice(
                     x, (pi, 0, tile_i[k] * nb), (1, x.shape[1], nb))[0]
@@ -1816,20 +1837,10 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                     [g(x, k, pair_i[k]) for k in range(k_max)], 0)
 
             if inkernel:
-                # templates were never materialized: build them (lazily,
-                # on this rare branch only) in column-major order and
-                # gather each bad tile's (tx, ty) grid block directly —
-                # cheaper than the full tiled-order relayout
-                tpl_cm = _batched_templates(spec, params, src)
-                nty = -(-spec.noph // geom.ty)
-                ntx = -(-spec.nopw // geom.tx)
+                if tpl_pad is None:
+                    tpl_pad = _tpl_cm_padded()
 
-                def gather_cm(x):                        # (B, C_, N)
-                    xp = jnp.pad(
-                        x.reshape(b, x.shape[1], spec.nopw, spec.noph),
-                        ((0, 0), (0, 0), (0, ntx * geom.tx - spec.nopw),
-                         (0, nty * geom.ty - spec.noph)))
-
+                def gather_cm(xp):                  # (B, C_, ntx*tx, nty*ty)
                     def g4(k):
                         sl = jax.lax.dynamic_slice(
                             xp, (pair_i[k], 0,
@@ -1841,8 +1852,8 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                     return jnp.stack([g4(k) for k in range(k_max)], 0)
 
                 tpl_fix = PatchTemplates(
-                    gather_cm(tpl_cm.tmpl), gather_cm(tpl_cm.tdx),
-                    gather_cm(tpl_cm.tdy), gather_cm(tpl_cm.hes))
+                    gather_cm(tpl_pad.tmpl), gather_cm(tpl_pad.tdx),
+                    gather_cm(tpl_pad.tdy), gather_cm(tpl_pad.hes))
             else:
                 tpl_fix = PatchTemplates(
                     gather(tpl_p.tmpl), gather(tpl_p.tdx),
@@ -1895,8 +1906,29 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             slots_all = jnp.nonzero(~flat_ok, size=n_slots,
                                     fill_value=0)[0].astype(jnp.int32)
 
+            tpl_zero = None
+            if inkernel:
+                # carry the padded column-major templates across chunks so
+                # multi-chunk batches build them ONCE (in chunk 0, behind
+                # the c==0 cond below) instead of once per chunk. Smooth
+                # batches never run a chunk; their only charge is this
+                # zero init (one HBM fill, measured in the noise —
+                # PERF.md round 5).
+                d_tpl = psz * psz * noc
+                hes_rows = 3 if params.nop == 2 else 1
+                gx, gy = ntx * geom.tx, nty * geom.ty
+                tpl_zero = PatchTemplates(
+                    jnp.zeros((b, d_tpl, gx, gy), jnp.float32),
+                    jnp.zeros((b, d_tpl, gx, gy), jnp.float32),
+                    jnp.zeros((b, d_tpl, gx, gy), jnp.float32),
+                    jnp.zeros((b, hes_rows, gx, gy), jnp.float32))
+
             def chunk_body(carry):
-                c, p_c, pw_c, it_c = carry
+                c, p_c, pw_c, it_c, tpl_c = carry
+                if inkernel:
+                    tpl_c = jax.lax.cond(
+                        c == 0, lambda t: _tpl_cm_padded(), lambda t: t,
+                        tpl_c)
                 base_i = c * k_max
                 slot = jax.lax.dynamic_slice(slots_all, (base_i,),
                                              (k_max,))
@@ -1913,15 +1945,15 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 slot_bad = ~flat_ok[slot]
                 pair_i = slot // t_tiles
                 tile_i = slot % t_tiles
-                p_fix, pw_fix, it_fix = fixup(pair_i, tile_i)
+                p_fix, pw_fix, it_fix = fixup(pair_i, tile_i, tpl_pad=tpl_c)
                 return (c + 1,
                         scat(p_c, p_fix, pair_i, tile_i, slot_bad),
                         scat(pw_c, pw_fix, pair_i, tile_i, slot_bad),
-                        jnp.maximum(it_c, it_fix))
+                        jnp.maximum(it_c, it_fix), tpl_c)
 
-            _, p_out, pw_out, it_res = jax.lax.while_loop(
+            _, p_out, pw_out, it_res, _ = jax.lax.while_loop(
                 lambda s: s[0] * k_max < nbad, chunk_body,
-                (jnp.int32(0), p_fin, pw, it_valid))
+                (jnp.int32(0), p_fin, pw, it_valid, tpl_zero))
             return (_tile_inv(p_out, spec, geom),
                     _tile_inv(pw_out, spec, geom), it_res)
 
