@@ -347,6 +347,47 @@ def dis_sequence(frames: jnp.ndarray, params: DISParams, full_w: int,
     return flows
 
 
+def _warm_step(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
+               full_w: int, full_h: int, carry: jnp.ndarray):
+    """One warm-started step over S stream lanes: (S, C, H, W) pair batch +
+    per-stream warm-start carry -> ((S, H, W, nop) full-res flow, next
+    carry). Shared by dis_sequence_batched's scan and the streaming
+    serving pipeline (pipeline.py --streams)."""
+    flow = _dis_flow_core(im_a, im_b, params, full_w, full_h,
+                          init_flow=carry)
+    full = None
+    if params.sc_l != 0 and patch_solver._use_pallas_bilerp():
+        f = _upscale_cf_pallas(jnp.moveaxis(flow, 3, 1), full_h, full_w,
+                               float(2 ** params.sc_l))
+        if f is not None:
+            full = jnp.moveaxis(f, 1, 3)
+    if full is None:
+        full = jax.vmap(lambda f: upscale_output(f, params.sc_l, full_h,
+                                                 full_w))(flow)
+    nxt = jax.vmap(lambda f: warm_start_from_full(f, params.sc_f))(full)
+    return full, nxt
+
+
+def warm_carry_init(s: int, params: DISParams, full_w: int,
+                    full_h: int) -> jnp.ndarray:
+    """Zero warm-start carry for S stream lanes (the cold start of a
+    warm-start chain; reference hook: oflow.cpp:215-217 with a null
+    initflow)."""
+    k = 2 ** (params.sc_f + 1)
+    return jnp.zeros((s, full_h // k, full_w // k, params.nop), jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("params", "full_w", "full_h"))
+def dis_step_warm(im_a: jnp.ndarray, im_b: jnp.ndarray, params: DISParams,
+                  full_w: int, full_h: int, carry: jnp.ndarray):
+    """Jitted single step of the S-stream warm-start serving loop: feed
+    consecutive pairs of S video streams step by step, threading the carry
+    (start from warm_carry_init). Equivalent to one scan step of
+    dis_sequence_batched — the streaming form for serving loops that
+    cannot hold whole videos in memory (pipeline.py --streams)."""
+    return _warm_step(im_a, im_b, params, full_w, full_h, carry)
+
+
 @partial(jax.jit, static_argnames=("params", "full_w", "full_h"))
 def dis_sequence_batched(frames: jnp.ndarray, params: DISParams, full_w: int,
                          full_h: int) -> jnp.ndarray:
@@ -358,23 +399,12 @@ def dis_sequence_batched(frames: jnp.ndarray, params: DISParams, full_w: int,
     frames: (T, S, C, H, W) divisibility-padded. Returns
     (T-1, S, H, W, nop) full-resolution flow.
     """
-    t, s = frames.shape[0], frames.shape[1]
-    k = 2 ** (params.sc_f + 1)
-    init = jnp.zeros((s, full_h // k, full_w // k, params.nop), jnp.float32)
+    s = frames.shape[1]
+    init = warm_carry_init(s, params, full_w, full_h)
 
     def step(carry, pair):
         a, b = pair
-        flow = _dis_flow_core(a, b, params, full_w, full_h, init_flow=carry)
-        full = None
-        if params.sc_l != 0 and patch_solver._use_pallas_bilerp():
-            f = _upscale_cf_pallas(jnp.moveaxis(flow, 3, 1), full_h, full_w,
-                                   float(2 ** params.sc_l))
-            if f is not None:
-                full = jnp.moveaxis(f, 1, 3)
-        if full is None:
-            full = jax.vmap(lambda f: upscale_output(f, params.sc_l, full_h,
-                                                     full_w))(flow)
-        nxt = jax.vmap(lambda f: warm_start_from_full(f, params.sc_f))(full)
+        full, nxt = _warm_step(a, b, params, full_w, full_h, carry)
         return nxt, full
 
     _, flows = jax.lax.scan(step, init, (frames[:-1], frames[1:]))

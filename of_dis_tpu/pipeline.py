@@ -20,6 +20,11 @@ feeds every chip its own shard.
 Usage:
   python -m of_dis_tpu.pipeline FRAME_DIR OUT_DIR [--op N] [--batch B]
       [--mode run_OF_INT|run_OF_RGB|run_DE_INT|run_DE_RGB] [--mesh all|N]
+      [--streams S]
+
+--streams S enables warm-start sequence serving: S contiguous video
+segments advance in lockstep, each lane warm-starting from its previous
+pair's flow (measured faster than cold batches at S=4, PERF.md).
 
 Frames are sorted lexicographically; pair t produces OUT_DIR/<frame_t>.flo
 (.pfm for depth modes).
@@ -62,12 +67,21 @@ class _ProducerError:
 
 def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
                  batch: int = 0, mode: str = "run_OF_INT",
-                 mesh=None, verbose: bool = True) -> int:
+                 mesh=None, streams: int = 0, verbose: bool = True) -> int:
     """Stream a frame directory through the batched DIS pipeline.
 
     Returns the number of frame pairs processed. Batches overlap: host
     decode of batch k+1 and .flo/.pfm writes of batch k-1 run concurrently
     with device compute of batch k.
+
+    streams=S switches to warm-start sequence serving: the video is split
+    into S contiguous segments advancing in lockstep (one S-lane device
+    step per time index), each lane warm-starting pair t+1 from its pair
+    t's flow (dis.dis_step_warm; the reference's dormant init-flow hook,
+    run_dense.cpp:356-379, oflow.cpp:215-217). Measured faster than cold
+    batches at S=4 on op-3 content (PERF.md sequence-mode section); the
+    flow outputs are warm-start outputs, not cold-batch outputs (better
+    init, identical format).
 
     batch=0 picks the measured per-op-point sweet spot: large batches for
     the coarse op-points (device-bound, amortizes dispatch), 16 for op-3
@@ -115,6 +129,12 @@ def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
     params = op_point_params(w_org, op_point, nop=nop, noc=noc, verbosity=0)
     top, bot, left, right = pad_amounts(w_org, h_org, params.sc_f)
     full_h, full_w = h_org + top + bot, w_org + left + right
+
+    if streams:
+        return _run_pipeline_streams(
+            frames, out_dir, params=params, streams=streams, mesh=mesh,
+            noc=noc, nop=nop, h_org=h_org, w_org=w_org, top=top, left=left,
+            full_h=full_h, full_w=full_w, verbose=verbose)
 
     pairs = list(zip(frames[:-1], frames[1:]))
     batches: List[List] = [pairs[i:i + batch]
@@ -209,6 +229,123 @@ def run_pipeline(frame_dir: str, out_dir: str, *, op_point: int = 2,
     return n_done
 
 
+def _run_pipeline_streams(frames, out_dir, *, params, streams, mesh, noc,
+                          nop, h_org, w_org, top, left, full_h, full_w,
+                          verbose) -> int:
+    """S-lane warm-start sequence serving (run_pipeline streams=S).
+
+    The video's N-1 consecutive pairs split into S contiguous segments;
+    device step t runs pair t of every segment as one S-batch through
+    dis.dis_step_warm, threading each lane's warm-start carry. Decode of
+    step t+1 and writes of step t-1 overlap device compute of step t,
+    exactly like the cold-batch path. Exhausted lanes (segments differ by
+    at most one pair) recompute their last pair; those outputs are not
+    written."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from of_dis_tpu.models import dis
+    from of_dis_tpu.ops import pyramid
+    from of_dis_tpu.utils import io as uio
+
+    pairs = list(zip(frames[:-1], frames[1:]))
+    n = len(pairs)
+    s = max(1, min(streams, n))
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        if s % n_dev:
+            # round the lane count up to the mesh size; surplus lanes
+            # (possible when n < n_dev) stay empty and never write
+            s += n_dev - s % n_dev
+    base, extra = divmod(n, s)
+    lens = [base + (1 if i < extra else 0) for i in range(s)]
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    segs = [pairs[starts[i]:starts[i + 1]] for i in range(s)]
+    t_max = max(lens)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _step(a, b, carry):
+        a = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))(a)
+        b = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))(b)
+        full, nxt = dis.dis_step_warm.__wrapped__(a, b, params, full_w,
+                                                  full_h, carry)
+        return jnp.moveaxis(full, 3, 1), nxt   # planar (S, nop, H, W)
+
+    if mesh is None:
+        fn = jax.jit(_step)
+        put = jnp.asarray
+    else:
+        axis = tuple(mesh.shape.keys())[0]
+        sh = NamedSharding(mesh, P(axis))
+        fn = jax.jit(_step, in_shardings=(sh, sh, sh),
+                     out_shardings=(sh, sh))
+        put = lambda x: jax.device_put(x, sh)
+
+    def host_decode(t):
+        # lane i's pair at time t (its last pair when exhausted; pair 0
+        # for lanes that were empty from the start — never written)
+        sel = [segs[i][min(t, lens[i] - 1)] if lens[i] else pairs[0]
+               for i in range(s)]
+        a = _decode_batch([p[0] for p in sel], noc)
+        b = _decode_batch([p[1] for p in sel], noc)
+        live = [t < lens[i] for i in range(s)]
+        return sel, a, b, live
+
+    q: Queue = Queue(maxsize=2)
+
+    def producer():
+        try:
+            for t in range(t_max):
+                q.put(host_decode(t))
+            q.put(None)
+        except BaseException as e:  # noqa: BLE001
+            q.put(_ProducerError(e))
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    writer = ThreadPoolExecutor(max_workers=4)
+    n_done = 0
+    t0 = time.perf_counter()
+    pending = []
+    ext = ".pfm" if nop == 1 else ".flo"
+
+    def drain(item):
+        nonlocal n_done
+        sel, live, out = item
+        flows = np.moveaxis(np.asarray(out), 1, 3)
+        for i, (f1, _) in enumerate(sel):
+            if not live[i]:
+                continue
+            fl = flows[i, top:top + h_org, left:left + w_org]
+            name = os.path.splitext(os.path.basename(f1))[0] + ext
+            write = uio.write_pfm if nop == 1 else uio.write_flo
+            writer.submit(write, os.path.join(out_dir, name), fl)
+            n_done += 1
+
+    carry = put(np.asarray(dis.warm_carry_init(s, params, full_w, full_h)))
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, _ProducerError):
+            writer.shutdown(wait=True)
+            raise RuntimeError("frame decode failed") from item.exc
+        sel, a_np, b_np, live = item
+        out, carry = fn(put(a_np), put(b_np), carry)
+        pending.append((sel, live, out))
+        if len(pending) > 1:
+            drain(pending.pop(0))
+    while pending:
+        drain(pending.pop(0))
+    writer.shutdown(wait=True)
+    dt = time.perf_counter() - t0
+    if verbose:
+        print(f"{n_done} pairs in {dt:.2f}s -> {n_done / dt:.1f} pairs/s "
+              f"({s} warm-start streams)")
+    return n_done
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     kw = {}
@@ -223,6 +360,10 @@ def main(argv=None):
     if "--mode" in argv:
         k = argv.index("--mode")
         kw["mode"] = argv[k + 1]
+        del argv[k:k + 2]
+    if "--streams" in argv:
+        k = argv.index("--streams")
+        kw["streams"] = int(argv[k + 1])
         del argv[k:k + 2]
     if "--mesh" in argv:
         k = argv.index("--mesh")

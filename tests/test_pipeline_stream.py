@@ -129,6 +129,50 @@ def test_stream_pipeline_sharded_matches_single(tmp_path):
         np.testing.assert_array_equal(a, b, err_msg=f)
 
 
+def test_stream_pipeline_warm_streams(tmp_path):
+    """--streams S serving: outputs must equal per-pair warm-start chaining
+    (dis_flow_full + warm_start_from_full per contiguous segment) — the
+    sequence-serving mode the reference keeps as its dormant init-flow hook
+    (run_dense.cpp:356-379)."""
+    import jax.numpy as jnp
+
+    from of_dis_tpu.models import dis
+    from of_dis_tpu.ops import pyramid
+    from of_dis_tpu.params import op_point_params, pad_amounts
+
+    frame_dir = tmp_path / "frames"
+    out_dir = tmp_path / "out"
+    frame_dir.mkdir()
+    h, w = _write_shift_frames(frame_dir, 7, dx=1.5, dy=0.5)
+    n = pipeline.run_pipeline(str(frame_dir), str(out_dir), op_point=1,
+                              streams=2, verbose=False)
+    assert n == 6
+    outs = sorted(os.listdir(out_dir))
+    assert outs == [f"frame_{t:04d}.flo" for t in range(6)]
+
+    # reference: two contiguous 3-pair segments, each a per-pair
+    # warm-start chain
+    params = op_point_params(w, 1, nop=2, noc=1, verbosity=0)
+    top, bot, left, right = pad_amounts(w, h, params.sc_f)
+    fh, fw = h + top + bot, w + left + right
+    frames = sorted(str(frame_dir / f) for f in os.listdir(frame_dir))
+    pairs = list(zip(frames[:-1], frames[1:]))
+    segs = [pairs[:3], pairs[3:]]
+    for seg in segs:
+        carry = dis.warm_carry_init(1, params, fw, fh)[0]
+        for f1, f2 in seg:
+            a = pyramid.pad_to_divisible(
+                jnp.asarray(pipeline._decode_batch([f1], 1)[0]), params.sc_f)
+            b = pyramid.pad_to_divisible(
+                jnp.asarray(pipeline._decode_batch([f2], 1)[0]), params.sc_f)
+            full = dis.dis_flow_full(a, b, params, fw, fh, init_flow=carry)
+            carry = dis.warm_start_from_full(full, params.sc_f)
+            want = np.asarray(full)[top:top + h, left:left + w]
+            name = os.path.splitext(os.path.basename(f1))[0] + ".flo"
+            got = uio.read_flo(str(out_dir / name))
+            np.testing.assert_allclose(got, want, atol=1e-4, err_msg=name)
+
+
 def test_stream_pipeline_corrupt_frame(tmp_path):
     """A truncated/corrupt frame must fail the run with a clear error, not
     hang the consumer on a dead producer thread (the producer propagates
