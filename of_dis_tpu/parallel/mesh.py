@@ -54,3 +54,20 @@ def dis_flow_sharded(mesh: Mesh, im_a, im_b, params: DISParams,
         out_shardings=sh,
     )
     return fn(im_a, im_b)
+
+
+def dis_sequence_sharded(mesh: Mesh, frames, params: DISParams,
+                         full_w: int, full_h: int,
+                         axis_name: str = "batch"):
+    """Warm-start sequence mode with the STREAM axis sharded over the mesh:
+    frames (T, S, C, H, W) with S divisible by the mesh size; each chip
+    advances its local streams through the scan, warm-start carries stay
+    chip-local (zero hot-path collectives, like the batch path). Returns
+    (T-1, S, H, W, nop) sharded on S."""
+    sh_in = NamedSharding(mesh, P(None, axis_name))
+    fn = jax.jit(
+        lambda f: dis.dis_sequence_batched(f, params, full_w, full_h),
+        in_shardings=sh_in,
+        out_shardings=sh_in,
+    )
+    return fn(frames)

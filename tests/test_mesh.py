@@ -80,6 +80,39 @@ def test_sharded_batch_multiple_pairs_per_device(mesh8):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_sequence_streams(mesh8):
+    """dis_sequence_batched with the STREAM axis sharded over the mesh
+    must match the unsharded sequence mode (warm-start carries stay
+    chip-local; reference surface: the init-flow hook oflow.cpp:215-217
+    advanced in lockstep over S streams)."""
+    params = _params(max_iter=4, min_iter=4)
+    rng = np.random.default_rng(5)
+    t, s = 3, 8
+    frames = jnp.asarray(rng.integers(0, 256, (t, s, 1, H, W)), jnp.uint8)
+    want = dis.dis_sequence_batched(frames, params, W, H)
+    got = pmesh.dis_sequence_sharded(mesh8, frames, params, W, H)
+    assert got.shape == (t - 1, s, H, W, 2)
+    assert got.sharding.is_equivalent_to(
+        NamedSharding(mesh8, P(None, "batch")), got.ndim)
+    # warm-start chaining amplifies sharded-vs-unsharded fusion rounding
+    # over T-1 chained solves: a handful of pixels drift a few 1e-3
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_sharded_fbcon(mesh8):
+    """Forward-backward merge (usefbcon) through the sharded path: the
+    fw/bw grid pairing (oflow.cpp:162-169) is part of the surface being
+    sharded."""
+    params = _params(usefbcon=True, max_iter=4, min_iter=4)
+    im_a, im_b = _pairs(8, seed=6)
+    want = dis.dis_flow_batched(im_a, im_b, params, W, H)
+    sa, sb = pmesh.shard_batch(mesh8, im_a, im_b)
+    got = pmesh.dis_flow_sharded(mesh8, sa, sb, params, W, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=2e-3)
+
+
 def test_sharded_depth_mode(mesh8):
     # nop=1 depth variant through the sharded path
     params = _params(nop=1)
