@@ -212,6 +212,12 @@ def main():
         return round(bsz * its / (time.perf_counter() - t0), 2)
 
     if os.environ.get("BENCH_SECONDARY", "1") != "0":
+        # op-1 (the DIS paper's 600 Hz headline regime,
+        # run_dense.cpp:240-247); same large-batch regime as op-2
+        p1 = op_point_params(w_org, 1, nop=2, noc=1, verbosity=0)
+        _secondary("op1_pairs_per_sec",
+                   lambda: _measure(p1, base, shift, min(batch, 384), 6))
+
         p3 = op_point_params(w_org, 3, nop=2, noc=1, verbosity=0)
         _secondary("op3_pairs_per_sec",
                    lambda: _measure(p3, base, shift, min(batch, 8), 4))
@@ -244,6 +250,17 @@ def main():
         _secondary("rgb_op3_pairs_per_sec",
                    lambda: _measure(p3c, base3, shift3, b3, 3))
 
+        # RGB op-2 (BASELINE.md config 2 at the headline op-point): the
+        # fused whole-plane kernels at noc=3, batch sized for ~3x the
+        # per-pair device cost of INT op-2
+        def _rgb_op2():
+            b2 = min(batch, 96)
+            base2, shift2 = _make_pairs(rng, b2, h_org, w_org, noc=3)
+            p2c = op_point_params(w_org, 2, nop=2, noc=3, verbosity=0)
+            return _measure(p2c, base2, shift2, b2, 4)
+
+        _secondary("rgb_op2_pairs_per_sec", _rgb_op2)
+
         # depth op-2 (1-D disparity; left camera clamps >=0 shifts to zero,
         # so use a negative-x disparity field). Batch 256: depth device
         # time is ~63us/pair, so small batches are dispatch-bound (batch
@@ -261,6 +278,18 @@ def main():
         pd3 = op_point_params(w_org, 3, nop=1, noc=1, verbosity=0)
         _secondary("de_op3_pairs_per_sec",
                    lambda: _measure(pd3, based, shiftd, min(batch, 8), 4))
+
+        # RGB depth op-2 (BASELINE.md config 4: run_DE_RGB)
+        def _de_rgb_op2():
+            bd = min(batch, 96)
+            based3, _ = _make_pairs(rng, bd, h_org, w_org, noc=3)
+            shiftd3 = np.clip(np.rint(_warp_pairs(
+                based3, -np.abs(u), np.zeros_like(v))),
+                0, 255).astype(np.uint8)
+            pdc = op_point_params(w_org, 2, nop=1, noc=3, verbosity=0)
+            return _measure(pdc, based3, shiftd3, bd, 4)
+
+        _secondary("de_rgb_op2_pairs_per_sec", _de_rgb_op2)
 
         # forward-backward merge at op-2 (BASELINE.md config 3: both
         # directions optimized per scale + bilinear backward splat)
@@ -307,6 +336,43 @@ def main():
             return round(s_n * (t_n - 1) * 2 / (time.perf_counter() - t0), 2)
 
         _secondary("seq_op3_pairs_per_sec", _seq)
+
+        # sequence SERVING (pipeline --streams): the full video-serving
+        # path — disk decode, S=4 warm-start stream lanes, async .flo
+        # writes — not just the device scan. End-to-end wall incl. I/O.
+        def _seq_serving():
+            import shutil
+            import tempfile
+
+            from of_dis_tpu import pipeline as pl
+
+            tmp = tempfile.mkdtemp(prefix="bench_seq_")
+            try:
+                fdir = os.path.join(tmp, "frames")
+                odir = os.path.join(tmp, "out")
+                os.makedirs(fdir)
+                u1, v1 = _flow_field(h_org, w_org)
+                try:
+                    import cv2
+                    for t in range(33):
+                        fr = np.clip(np.rint(_warp_pairs(
+                            base[:1], t * 0.7 * u1, t * 0.7 * v1)[0, 0]),
+                            0, 255).astype(np.uint8)
+                        cv2.imwrite(os.path.join(fdir, f"f{t:04d}.png"), fr)
+                except ImportError:
+                    return "skipped (no cv2)"
+                # warm the compile outside the timed run
+                pl.run_pipeline(fdir, odir, op_point=3, streams=4,
+                                verbose=False)
+                shutil.rmtree(odir)
+                t0 = time.perf_counter()
+                n = pl.run_pipeline(fdir, odir, op_point=3, streams=4,
+                                    verbose=False)
+                return round(n / (time.perf_counter() - t0), 2)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        _secondary("seq_serving_pairs_per_sec", _seq_serving)
 
     print(json.dumps({
         "metric": "sintel_1024x436_op2_pairs_per_sec",

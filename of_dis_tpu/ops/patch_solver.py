@@ -1033,10 +1033,16 @@ def _pick_tile_geom(spec: LevelSpec, params: DISParams,
     import os
     forms = ((False, True) if os.environ.get("OF_DIS_TPU_TILE_SINGLE_STAGE")
              else (True, False))
+    # straggler-experiment knob: cap the lane width (patches per program) so
+    # a slow-to-converge patch stalls a smaller tile (block-level early exit
+    # granularity). 0/unset = no cap.
+    nb_max = int(os.environ.get("OF_DIS_TPU_TILE_NB_MAX", "0"))
     for two_stage in forms:
         cap = _vmem_cap((6 if not two_stage else 9) * 1024 * 1024)
         for tx, ty, xb, yb in _TILE_CANDIDATES:
             nb = tx * ty           # lane width == patches per program
+            if nb_max and nb > nb_max:
+                continue
             # static coverage: tile spread + drift margin + alignment waste
             if (tx - 1) * steps + 2 * margin + 127 > xb - w1:
                 continue
@@ -1906,54 +1912,51 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             slots_all = jnp.nonzero(~flat_ok, size=n_slots,
                                     fill_value=0)[0].astype(jnp.int32)
 
-            tpl_zero = None
-            if inkernel:
-                # carry the padded column-major templates across chunks so
-                # multi-chunk batches build them ONCE (in chunk 0, behind
-                # the c==0 cond below) instead of once per chunk. Smooth
-                # batches never run a chunk; their only charge is this
-                # zero init (one HBM fill, measured in the noise —
-                # PERF.md round 5).
-                d_tpl = psz * psz * noc
-                hes_rows = 3 if params.nop == 2 else 1
-                gx, gy = ntx * geom.tx, nty * geom.ty
-                tpl_zero = PatchTemplates(
-                    jnp.zeros((b, d_tpl, gx, gy), jnp.float32),
-                    jnp.zeros((b, d_tpl, gx, gy), jnp.float32),
-                    jnp.zeros((b, d_tpl, gx, gy), jnp.float32),
-                    jnp.zeros((b, hes_rows, gx, gy), jnp.float32))
+            def run_chunks(args):
+                # the whole fix-up loop lives inside the nbad>0 cond:
+                # smooth batches pay only the predicate (the cond join is
+                # patch-grid-sized — p/pw/it, ~1 MB — not kernel-output-
+                # sized, so the round-4 join-copy concern doesn't apply),
+                # and the padded column-major templates are built ONCE
+                # here, closed over by every chunk (carrying them through
+                # the loop cost smooth batches 4 full-size zero fills per
+                # level — measured 304 -> 285 pairs/s smooth op-3 b16).
+                p0, pw0, it0 = args
+                tpl_pad = _tpl_cm_padded() if inkernel else None
 
-            def chunk_body(carry):
-                c, p_c, pw_c, it_c, tpl_c = carry
-                if inkernel:
-                    tpl_c = jax.lax.cond(
-                        c == 0, lambda t: _tpl_cm_padded(), lambda t: t,
-                        tpl_c)
-                base_i = c * k_max
-                slot = jax.lax.dynamic_slice(slots_all, (base_i,),
-                                             (k_max,))
-                # slot_bad MUST be validity-based (like the legacy path
-                # below), not position-based: pad slots beyond nbad carry
-                # fill slot 0, and if flat slot 0 is itself invalid a
-                # position mask would make the pad slots write the tiled
-                # kernel's garbage `cur` for (pair 0, tile 0) while the
-                # real slot writes the fix — duplicate-index .at[].set
-                # order is undefined, so the fix could be dropped. With
-                # ~flat_ok[slot], every duplicate of a bad slot carries
-                # the identical recomputed value (fixup is deterministic
-                # per (pair, tile)), so scatter order cannot matter.
-                slot_bad = ~flat_ok[slot]
-                pair_i = slot // t_tiles
-                tile_i = slot % t_tiles
-                p_fix, pw_fix, it_fix = fixup(pair_i, tile_i, tpl_pad=tpl_c)
-                return (c + 1,
-                        scat(p_c, p_fix, pair_i, tile_i, slot_bad),
-                        scat(pw_c, pw_fix, pair_i, tile_i, slot_bad),
-                        jnp.maximum(it_c, it_fix), tpl_c)
+                def chunk_body(carry):
+                    c, p_c, pw_c, it_c = carry
+                    base_i = c * k_max
+                    slot = jax.lax.dynamic_slice(slots_all, (base_i,),
+                                                 (k_max,))
+                    # slot_bad MUST be validity-based (like the legacy
+                    # path below), not position-based: pad slots beyond
+                    # nbad carry fill slot 0, and if flat slot 0 is itself
+                    # invalid a position mask would make the pad slots
+                    # write the tiled kernel's garbage `cur` for (pair 0,
+                    # tile 0) while the real slot writes the fix —
+                    # duplicate-index .at[].set order is undefined, so the
+                    # fix could be dropped. With ~flat_ok[slot], every
+                    # duplicate of a bad slot carries the identical
+                    # recomputed value (fixup is deterministic per
+                    # (pair, tile)), so scatter order cannot matter.
+                    slot_bad = ~flat_ok[slot]
+                    pair_i = slot // t_tiles
+                    tile_i = slot % t_tiles
+                    p_fix, pw_fix, it_fix = fixup(pair_i, tile_i,
+                                                  tpl_pad=tpl_pad)
+                    return (c + 1,
+                            scat(p_c, p_fix, pair_i, tile_i, slot_bad),
+                            scat(pw_c, pw_fix, pair_i, tile_i, slot_bad),
+                            jnp.maximum(it_c, it_fix))
 
-            _, p_out, pw_out, it_res, _ = jax.lax.while_loop(
-                lambda s: s[0] * k_max < nbad, chunk_body,
-                (jnp.int32(0), p_fin, pw, it_valid, tpl_zero))
+                _, p_out, pw_out, it_res = jax.lax.while_loop(
+                    lambda s: s[0] * k_max < nbad, chunk_body,
+                    (jnp.int32(0), p0, pw0, it0))
+                return p_out, pw_out, it_res
+
+            p_out, pw_out, it_res = jax.lax.cond(
+                nbad > 0, run_chunks, lambda a: a, (p_fin, pw, it_valid))
             return (_tile_inv(p_out, spec, geom),
                     _tile_inv(pw_out, spec, geom), it_res)
 

@@ -113,6 +113,43 @@ def main():
         ln = e.get("args", {}).get("long_name", "")[:130]
         print(f"{e['dur']/1e3:8.2f} ms  {ln}")
 
+    # ---- schedule-gap analysis (round 5): the wall-vs-device delta.
+    # Per device track (tid): span = last end - first start, busy = summed
+    # durations, idle = span - busy. The top gaps between consecutive ops
+    # on the busiest track show WHERE the unattributed time sits.
+    bytid = collections.defaultdict(list)
+    for e in ev:
+        bytid[(e["pid"], e["tid"])].append(e)
+    tids = {t: n["args"].get("name", "") for t, n in (
+        ((e["pid"], e["tid"]), e) for e in data["traceEvents"]
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+        and e.get("pid") in dev)}
+    print("\nper-track busy/span:")
+    main_track = None
+    main_busy = -1.0
+    for t, evs in sorted(bytid.items(),
+                         key=lambda kv: -sum(e["dur"] for e in kv[1])):
+        evs.sort(key=lambda e: e["ts"])
+        busy = sum(e["dur"] for e in evs)
+        span = evs[-1]["ts"] + evs[-1]["dur"] - evs[0]["ts"]
+        print(f"  tid {t[1]:>4} ({tids.get(t, '?')[:40]:40s}) "
+              f"busy {busy/1e3:8.2f} ms  span {span/1e3:8.2f} ms  "
+              f"idle {(span-busy)/1e3:8.2f} ms  x{len(evs)}")
+        if busy > main_busy:
+            main_busy, main_track = busy, t
+    evs = bytid[main_track]
+    gaps = []
+    for a, bnxt in zip(evs, evs[1:]):
+        g = bnxt["ts"] - (a["ts"] + a["dur"])
+        if g > 0:
+            gaps.append((g, a["name"], bnxt["name"]))
+    gaps.sort(reverse=True)
+    n_gap = sum(g for g, _, _ in gaps)
+    print(f"\ncompute-track gaps: {len(gaps)} totaling {n_gap/1e3:.2f} ms; "
+          f"top 15:")
+    for g, na, nb2 in gaps[:15]:
+        print(f"{g/1e3:8.3f} ms  after {na[:50]:50s} before {nb2[:50]}")
+
 
 if __name__ == "__main__":
     main()
