@@ -147,25 +147,27 @@ def main():
         batch after batch with a single host fetch at the very end — a
         per-iteration dependent-scalar fetch enqueues its slice program
         behind later batches and serializes a ~30ms tunnel round trip into
-        the device queue (measured with jax.profiler)."""
+        the device queue (measured with jax.profiler).
+
+        Only the checksum is returned (measured identical to also
+        returning the flow batch — a jit output is a zero-copy buffer
+        reference). The checksum still forces the whole pipeline including
+        the full-res output upsample write (a custom call — XLA cannot
+        elide its output)."""
         out = dis.dis_flow_batched(a, b, params, full_w, full_h,
                                    channels_last=False)
-        return out, chk + jnp.sum(out)
+        return chk + jnp.sum(out)
 
     # compile + warm up (includes one full execution, forced by the fetch)
-    out, chk = step(im_a, im_b, jnp.zeros((), jnp.float32))
+    chk = step(im_a, im_b, jnp.zeros((), jnp.float32))
     _sync(chk)
-    del out
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     chk = jnp.zeros((), jnp.float32)
     for i in range(iters):
-        # keep no reference to the big output: its buffer is freed as soon
-        # as the checksum consumes it, bounding HBM to ~2 batches in flight
-        out, chk = step(im_a, im_b, chk) if i % 2 == 0 else step(
+        chk = step(im_a, im_b, chk) if i % 2 == 0 else step(
             im_b, im_a, chk)
-        del out
     _sync(chk)
     dt = time.perf_counter() - t0
     pairs_per_sec = batch * iters / dt

@@ -20,6 +20,7 @@ Golden generation (documented for regeneration): each binary was invoked as
   run_OF_GRD a.png b.png of_grd_op2.flo 2      # SELECTCHANNEL=2 build
   run_OF_GRD a.png b.png of_grd_op3.flo 3
   run_DE_INT a.png bs.png de_int_op3.pfm 3
+  run_DE_GRD a.png bs.png de_grd_op2.pfm 2     # SELECTMODE=2 SELECTCHANNEL=2 build
   run_DE_INT a.png bs.png de_int_l2_fb.pfm 3 1 12 12 0.05 0.95 0 8 0.4 1 1 0 1 10 10 5 1 3 1.6 0
 
 Binaries reproducible via tools/build_reference.sh (the rebuilt run_OF_INT
@@ -122,6 +123,20 @@ def test_de_rgb_op2(tmp_path):
     _run("run_DE_RGB", "asc.png", "bsc.png", out, ["2", "--quiet"])
     ours = io.read_pfm(out)
     ref = io.read_pfm(os.path.join(G, "de_rgb_op2.pfm"))
+    ratio = np.abs(ours - ref).mean() / np.abs(ref).mean()
+    assert ratio < 0.01, ratio
+
+
+def test_de_grd_op2(tmp_path):
+    """Depth + gradient-magnitude input (SELECTMODE=2, SELECTCHANNEL=2):
+    dormant in the reference (no CMake target, run_dense.cpp:139-148 +
+    the depth branch at 240-268), but buildable — golden from the
+    -DSELECTMODE=2 -DSELECTCHANNEL=2 reference build
+    (tools/build_reference.sh run_DE_GRD)."""
+    out = str(tmp_path / "out.pfm")
+    _run("run_DE_GRD", "a.png", "bs.png", out, ["2", "--quiet"])
+    ours = io.read_pfm(out)
+    ref = io.read_pfm(os.path.join(G, "de_grd_op2.pfm"))
     ratio = np.abs(ours - ref).mean() / np.abs(ref).mean()
     assert ratio < 0.01, ratio
 

@@ -46,4 +46,5 @@ build_variant run_OF_INT 1 1
 build_variant run_OF_GRD 1 2
 build_variant run_OF_RGB 1 3
 build_variant run_DE_INT 2 1
+build_variant run_DE_GRD 2 2
 build_variant run_DE_RGB 2 3
