@@ -102,7 +102,9 @@ def main():
             ("DE_INT fbcon", "run_DE_INT", "a.png", "bs.png", fb20,
              "de_int_l2_fb.pfm"),
             ("DE_RGB op2", "run_DE_RGB", "asc.png", "bsc.png", ["2"],
-             "de_rgb_op2.pfm")]:
+             "de_rgb_op2.pfm"),
+            ("DE_GRD op2", "run_DE_GRD", "a.png", "bs.png", ["2"],
+             "de_grd_op2.pfm")]:
         out = f"/tmp/tpu_parity_{golden}"
         cli.main([mode, os.path.join(g, i1), os.path.join(g, i2), out, *op,
                   "--quiet"])
