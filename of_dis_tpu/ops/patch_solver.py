@@ -244,6 +244,24 @@ def _use_pallas_bilerp() -> bool:
         return False
 
 
+def _tiled_cm(two_stage: bool, noc: int) -> bool:
+    """Channel-major (c, i, j) element order for the tiled kernel.
+
+    Mandatory for multi-channel two-stage tiles (the per-channel staging
+    is what fits noc=3 in VMEM). For noc == 1 the same order costs
+    nothing (the extraction dot is identical — only the final row
+    slicing changes) and buys the fully vectorized bilerp: one y-lerp +
+    one x-lerp FMA pair over (w1, psz, nb) instead of psz small per-j
+    ops — measured on the per-trip-cost-bound op-4 level (PERF.md).
+    OF_DIS_TPU_TILED_CM1=0 restores the legacy (j, i) order for A/B."""
+    import os
+    if not two_stage:
+        return False
+    if noc > 1:
+        return True
+    return os.environ.get("OF_DIS_TPU_TILED_CM1", "1") != "0"
+
+
 def _use_extract_cache() -> bool:
     """Cross-iteration extraction-row caching in the fused GN kernels
     (diagnostic escape hatch: OF_DIS_TPU_NO_EXTRACT_CACHE=1 disables)."""
@@ -419,21 +437,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _masked_gn_loop(max_iter: int, body, carry0):
+def _masked_gn_loop(max_iter: int, body, carry0, active_idx: int = 3):
     """Run the masked GN iteration `body` with block-level early exit.
 
     Semantically identical to `lax.fori_loop(0, max_iter, body, carry0)`:
     every carry update in `body` is gated on the per-patch active mask
-    (carry index 3, a 0/1 f32), patches never reactivate, and the iters
-    diagnostic adds max(active)==0 on dead trips — so an iteration entered
-    with no active patch is an identity on every observed output and the
-    while_loop may stop there. The only non-gated carry slot is the
-    extraction cache, which is unobserved once its patch is inactive.
-    Matters most at op-4 (max_iter=128, typical convergence ~10-20):
-    the fixed-trip form burns >100 dead iterations per block."""
+    (carry index `active_idx`, a 0/1 f32), patches never reactivate, and
+    the iters diagnostic adds max(active)==0 on dead trips — so an
+    iteration entered with no active patch is an identity on every
+    observed output and the while_loop may stop there. The only non-gated
+    carry slot is the extraction cache, which is unobserved once its
+    patch is inactive. Matters most at op-4 (max_iter=128, typical
+    convergence ~10-20): the fixed-trip form burns >100 dead iterations
+    per block."""
     def cond(state):
         i, carry = state
-        return (i < max_iter) & (jnp.max(carry[3]) > 0.5)
+        return (i < max_iter) & (jnp.max(carry[active_idx]) > 0.5)
 
     def wbody(state):
         i, carry = state
@@ -1063,7 +1082,7 @@ def _pick_tile_geom(spec: LevelSpec, params: DISParams,
             # RGB two-stage programs extract one channel at a time, so the
             # big x-dot result and band temporaries are 1/noc-sized — this
             # is what admits nb=256 tiles for noc=3
-            cm = two_stage and noc > 1
+            cm = _tiled_cm(two_stage, noc)
             w1t = w1 if cm else w1c              # per-dot row group
             if ybs:
                 # tmpl/tdx/tdy live as values (no double-buffered input
@@ -1268,8 +1287,9 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
     # The kernel-internal patch element order becomes D' = (c, i, j) —
     # templates are extracted (or host-reordered) to match, the GN
     # reductions are order-agnostic, and the (i, j)-ordered pweight is
-    # transposed to the interface's (j, i) once after the loop.
-    cm = geom.two_stage and noc > 1
+    # transposed to the interface's (j, i) once after the loop. noc == 1
+    # uses the same order for the vectorized bilerp (_tiled_cm).
+    cm = _tiled_cm(geom.two_stage, noc)
 
     def kernel(*refs):
         if inkernel:
@@ -1492,7 +1512,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 a = a + jnp.where(m, t3[:, s:s + psz + 1, :], 0.0)
             return a
 
-        def compute_err(pt, active, prev):
+        def extract_patch(pt, active, prev):
             """prev = (a, sx, sy) from the previous extraction or None.
             When no ACTIVE patch moved to a different integer cell, the
             dot + row selection are skipped and `a` is reused — after a
@@ -1538,13 +1558,23 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 patch = jnp.concatenate(parts, axis=0)  # (D, nb)
             if params.patnorm > 0:
                 patch = patch - patch.mean(axis=0, keepdims=True)
+            return patch, (a, sxy)
+
+        def compute_err(pt, active, prev):
+            patch, cache = extract_patch(pt, active, prev)
             pdiff, pweight = loss_error_image(patch - tmpl, params.costfct)
             mares = jnp.sum(pweight, axis=0, keepdims=True)  # (1, nb)
             # carry the (nop, nb) projection, not the (D, nb) pdiff (see
             # the fused kernel: bit-exact, smaller carry, one less big
-            # sel); pweight pre-clamp-summed (psz*psz, nb), see PatchResult
-            return (rhs_of(pdiff), pw_dense_k(pweight),
-                    mares / novals, (a, sxy))
+            # sel). pweight is NOT computed or carried in the loop: it is
+            # only observed at the very end, and extraction is a pure
+            # function of the patch position — the epilogue recomputes it
+            # once from the final positions, bit-identically to the value
+            # the last active iteration would have carried. That drops a
+            # (psz*psz, nb) select (+ the per-iteration channel clamp-sum
+            # in cm mode) from every GN trip — at op-4's 128 mandatory
+            # trips the recompute costs 1/128th of the saving's base.
+            return rhs_of(pdiff), mares / novals, cache
 
         def rhs_of(pd):
             r0 = jnp.sum(tdx * pd, axis=0, keepdims=True)
@@ -1571,17 +1601,14 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
         pt0_safe = jnp.where(init_oob,
                              jnp.broadcast_to(ptr, pt0.shape), pt0)
         all_on = jnp.ones((1, nb), jnp.bool_)
-        rhs0, pweight0, mares0, cache0 = compute_err(pt0_safe, all_on,
-                                                     None)
+        rhs0, mares0, cache0 = compute_err(pt0_safe, all_on, None)
         _, tmpl_pw = loss_error_image(tmpl, params.costfct)
         rhs0 = jnp.where(init_oob, rhs_of(tmpl), rhs0)
-        pweight0 = jnp.where(init_oob, pw_dense_k(tmpl_pw), pweight0)
         active0 = ((~init_oob) & (params.max_iter > 0)
                    & (mares0 > params.res_thresh))
 
         def body(i, carry):
-            (p, rhs, pweight, active_f, mares, dpn_init, itcnt,
-             cache) = carry
+            (p, rhs, active_f, mares, dpn_init, itcnt, cache) = carry
             active = active_f > 0.5                      # (1, nb)
             itcnt = itcnt + jnp.max(active_f)
             it1 = i + 1
@@ -1598,7 +1625,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             reset = (moved > params.outlierthresh) | oob(pt_new)
             p_new = jnp.where(reset, p_init, p_new)
             pt_new = to_pt(p_new)
-            rhs_new, pweight_new, mares_new, cache_new = compute_err(
+            rhs_new, mares_new, cache_new = compute_err(
                 pt_new, active, cache)
             dp_sqnorm = jnp.sum(dp * dp, axis=0, keepdims=True)
             dpn_init_new = jnp.where(it1 == 1, dp_sqnorm, dpn_init)
@@ -1614,27 +1641,42 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 return jnp.where(active, new, old)
 
             return (sel(p_new, p), sel(rhs_new, rhs),
-                    sel(pweight_new, pweight),
                     (active & active_new).astype(jnp.float32),
                     sel(mares_new, mares), sel(dpn_init_new, dpn_init),
                     itcnt, cache_new)
 
-        carry0 = (p_init, rhs0, pweight0, active0.astype(jnp.float32),
+        carry0 = (p_init, rhs0, active0.astype(jnp.float32),
                   mares0, jnp.full((1, nb), 1e-10, jnp.float32),
                   jnp.float32(0.0), cache0)
-        out = _masked_gn_loop(params.max_iter, body, carry0)
+        out = _masked_gn_loop(params.max_iter, body, carry0,
+                              active_idx=2)
         po_ref[0] = out[0]
+        # pweight epilogue: ONE full extraction at the final positions.
+        # For every lane this is bit-identical to the value the loop
+        # would have carried from its last active iteration (extraction,
+        # patnorm and the loss are pure per-lane functions of the
+        # position, and an inactive lane's position never changes). The
+        # carried extraction cache cannot be reused here — its rows track
+        # the would-be positions of INACTIVE lanes too, which moved on
+        # past each lane's final position.
+        pt_fin = to_pt(out[0])
+        pt_fin_safe = jnp.where(init_oob,
+                                jnp.broadcast_to(ptr, pt_fin.shape), pt_fin)
+        patch_f, _ = extract_patch(pt_fin_safe, all_on, None)
+        _, pweight_f = loss_error_image(patch_f - tmpl, params.costfct)
+        pweight = jnp.where(init_oob, pw_dense_k(tmpl_pw),
+                            pw_dense_k(pweight_f))
         if cm:
             # kernel-internal pixel order is (i, j); the interface wants
             # (j, i) — transpose once per program (psz slice-concats)
-            pwij = out[2].reshape(psz, psz, nb)
+            pwij = pweight.reshape(psz, psz, nb)
             pw_ref[0] = jnp.concatenate(
                 [pwij[:, jj, :] for jj in range(psz)], axis=0)
         elif noc == 1:
-            pw_ref[0] = jnp.maximum(out[2], MINERRVAL)  # deferred clamp
+            pw_ref[0] = jnp.maximum(pweight, MINERRVAL)  # deferred clamp
         else:
-            pw_ref[0] = out[2]
-        it_ref[bi_, ti_] = out[6].astype(jnp.int32)
+            pw_ref[0] = pweight
+        it_ref[bi_, ti_] = out[5].astype(jnp.int32)
 
     blk_d = pl.BlockSpec((1, d, nb), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM)
@@ -1794,7 +1836,7 @@ def _optimize_tiled(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             tpl_p = PatchTemplates(take(tpl.tmpl), take(tpl.tdx),
                                    take(tpl.tdy), take(tpl.hes))
             tpl_k = tpl_p
-            if geom.two_stage and noc > 1:
+            if _tiled_cm(geom.two_stage, noc):
                 # the cm kernel's element order is (c, i, j); reorder the
                 # HBM templates to match (the fix-up keeps tpl_p in the
                 # XLA path's (j, i, c) order)

@@ -104,8 +104,12 @@ def test_tiled_fallback_on_wild_flow(monkeypatch):
     p_init = jnp.asarray(rng.uniform(-60, 60, (n, 2)).astype(np.float32))
     want = _run(prm, spec, im_b, tpl, p_init, "xla", monkeypatch)
     got = _run(prm, spec, im_b, tpl, p_init, "tiled", monkeypatch)
+    # tiles that stay on the kernel differ from the XLA path by
+    # reduction-order ulps compounded through the GN loop (the cm (i, j)
+    # element order sums in a different order — see _gn_tiled_pallas
+    # docstring, measured |dp| <= ~1e-4); fixed-up tiles are bit-exact
     np.testing.assert_allclose(np.asarray(got.p), np.asarray(want.p),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_tiled_legacy_level_fallback_env(monkeypatch):

@@ -38,7 +38,9 @@ def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 384
     op = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     h_org, w_org = 436, 1024
-    params = op_point_params(w_org, op, nop=2, noc=1, verbosity=0)
+    # third arg "rgb": profile the noc=3 path (RGB op-3 attribution)
+    noc = 3 if (len(sys.argv) > 3 and sys.argv[3] == "rgb") else 1
+    params = op_point_params(w_org, op, nop=2, noc=noc, verbosity=0)
     rng = np.random.default_rng(0)
     # bench.py's pair generator: blurred noise + spatially-varying subpixel
     # motion. Blur matters (raw noise produces wild flows that defeat the
@@ -46,7 +48,7 @@ def main():
     # production paths); the varying field matters (a uniform integer shift
     # lets the extraction cache skip its dot nearly always — flattering).
     import bench as _bench
-    base, shift = _bench._make_pairs(rng, b, h_org, w_org)
+    base, shift = _bench._make_pairs(rng, b, h_org, w_org, noc=noc)
     im_a = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))(
         jnp.asarray(base))
     im_b = jax.vmap(lambda x: pyramid.pad_to_divisible(x, params.sc_f))(
