@@ -1560,20 +1560,28 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
                 patch = patch - patch.mean(axis=0, keepdims=True)
             return patch, (a, sxy)
 
+        # pweight placement (static): the loop only OBSERVES pweight at
+        # the very end, and extraction is a pure per-lane function of the
+        # position — so a single post-loop extraction at the final
+        # positions reproduces the carried value bit-identically. That
+        # epilogue drops a (psz*psz, nb) select (+ the per-iteration
+        # channel clamp-sum in cm mode) from every GN trip and wins
+        # wherever trips dominate the one extra extraction: noc=1 (op-3
+        # +10% with the cm1 bilerp, op-4 +12% — 128 mandatory trips) and
+        # any max_iter >= 32 config. The exception is multi-channel SHORT
+        # loops (RGB op-3: 16 trips vs a 3-channel-dot epilogue — measured
+        # 147.6 -> 142.8 net LOSS), which keep the legacy carried form.
+        pw_in_loop = noc > 1 and params.max_iter < 32
+
         def compute_err(pt, active, prev):
             patch, cache = extract_patch(pt, active, prev)
             pdiff, pweight = loss_error_image(patch - tmpl, params.costfct)
             mares = jnp.sum(pweight, axis=0, keepdims=True)  # (1, nb)
             # carry the (nop, nb) projection, not the (D, nb) pdiff (see
-            # the fused kernel: bit-exact, smaller carry, one less big
-            # sel). pweight is NOT computed or carried in the loop: it is
-            # only observed at the very end, and extraction is a pure
-            # function of the patch position — the epilogue recomputes it
-            # once from the final positions, bit-identically to the value
-            # the last active iteration would have carried. That drops a
-            # (psz*psz, nb) select (+ the per-iteration channel clamp-sum
-            # in cm mode) from every GN trip — at op-4's 128 mandatory
-            # trips the recompute costs 1/128th of the saving's base.
+            # the fused kernel: bit-exact, smaller carry, one less big sel)
+            if pw_in_loop:
+                return (rhs_of(pdiff), pw_dense_k(pweight),
+                        mares / novals, cache)
             return rhs_of(pdiff), mares / novals, cache
 
         def rhs_of(pd):
@@ -1601,14 +1609,23 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
         pt0_safe = jnp.where(init_oob,
                              jnp.broadcast_to(ptr, pt0.shape), pt0)
         all_on = jnp.ones((1, nb), jnp.bool_)
-        rhs0, mares0, cache0 = compute_err(pt0_safe, all_on, None)
         _, tmpl_pw = loss_error_image(tmpl, params.costfct)
+        if pw_in_loop:
+            rhs0, pweight0, mares0, cache0 = compute_err(pt0_safe, all_on,
+                                                         None)
+            pweight0 = jnp.where(init_oob, pw_dense_k(tmpl_pw), pweight0)
+        else:
+            rhs0, mares0, cache0 = compute_err(pt0_safe, all_on, None)
         rhs0 = jnp.where(init_oob, rhs_of(tmpl), rhs0)
         active0 = ((~init_oob) & (params.max_iter > 0)
                    & (mares0 > params.res_thresh))
 
         def body(i, carry):
-            (p, rhs, active_f, mares, dpn_init, itcnt, cache) = carry
+            if pw_in_loop:
+                (p, rhs, pweight, active_f, mares, dpn_init, itcnt,
+                 cache) = carry
+            else:
+                (p, rhs, active_f, mares, dpn_init, itcnt, cache) = carry
             active = active_f > 0.5                      # (1, nb)
             itcnt = itcnt + jnp.max(active_f)
             it1 = i + 1
@@ -1625,8 +1642,12 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             reset = (moved > params.outlierthresh) | oob(pt_new)
             p_new = jnp.where(reset, p_init, p_new)
             pt_new = to_pt(p_new)
-            rhs_new, mares_new, cache_new = compute_err(
-                pt_new, active, cache)
+            if pw_in_loop:
+                rhs_new, pweight_new, mares_new, cache_new = compute_err(
+                    pt_new, active, cache)
+            else:
+                rhs_new, mares_new, cache_new = compute_err(
+                    pt_new, active, cache)
             dp_sqnorm = jnp.sum(dp * dp, axis=0, keepdims=True)
             dpn_init_new = jnp.where(it1 == 1, dp_sqnorm, dpn_init)
             keep = ((it1 < params.max_iter)
@@ -1640,32 +1661,50 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             def sel(new, old):
                 return jnp.where(active, new, old)
 
+            if pw_in_loop:
+                return (sel(p_new, p), sel(rhs_new, rhs),
+                        sel(pweight_new, pweight),
+                        (active & active_new).astype(jnp.float32),
+                        sel(mares_new, mares), sel(dpn_init_new, dpn_init),
+                        itcnt, cache_new)
             return (sel(p_new, p), sel(rhs_new, rhs),
                     (active & active_new).astype(jnp.float32),
                     sel(mares_new, mares), sel(dpn_init_new, dpn_init),
                     itcnt, cache_new)
 
-        carry0 = (p_init, rhs0, active0.astype(jnp.float32),
-                  mares0, jnp.full((1, nb), 1e-10, jnp.float32),
-                  jnp.float32(0.0), cache0)
-        out = _masked_gn_loop(params.max_iter, body, carry0,
-                              active_idx=2)
-        po_ref[0] = out[0]
-        # pweight epilogue: ONE full extraction at the final positions.
-        # For every lane this is bit-identical to the value the loop
-        # would have carried from its last active iteration (extraction,
-        # patnorm and the loss are pure per-lane functions of the
-        # position, and an inactive lane's position never changes). The
-        # carried extraction cache cannot be reused here — its rows track
-        # the would-be positions of INACTIVE lanes too, which moved on
-        # past each lane's final position.
-        pt_fin = to_pt(out[0])
-        pt_fin_safe = jnp.where(init_oob,
-                                jnp.broadcast_to(ptr, pt_fin.shape), pt_fin)
-        patch_f, _ = extract_patch(pt_fin_safe, all_on, None)
-        _, pweight_f = loss_error_image(patch_f - tmpl, params.costfct)
-        pweight = jnp.where(init_oob, pw_dense_k(tmpl_pw),
-                            pw_dense_k(pweight_f))
+        if pw_in_loop:
+            carry0 = (p_init, rhs0, pweight0, active0.astype(jnp.float32),
+                      mares0, jnp.full((1, nb), 1e-10, jnp.float32),
+                      jnp.float32(0.0), cache0)
+            out = _masked_gn_loop(params.max_iter, body, carry0,
+                                  active_idx=3)
+            po_ref[0] = out[0]
+            pweight = out[2]
+            itcnt_out = out[6]
+        else:
+            carry0 = (p_init, rhs0, active0.astype(jnp.float32),
+                      mares0, jnp.full((1, nb), 1e-10, jnp.float32),
+                      jnp.float32(0.0), cache0)
+            out = _masked_gn_loop(params.max_iter, body, carry0,
+                                  active_idx=2)
+            po_ref[0] = out[0]
+            itcnt_out = out[5]
+            # pweight epilogue: ONE full extraction at the final
+            # positions. For every lane this is bit-identical to the
+            # value the loop would have carried from its last active
+            # iteration (extraction, patnorm and the loss are pure
+            # per-lane functions of the position, and an inactive lane's
+            # position never changes). The carried extraction cache
+            # cannot be reused here — its rows track the would-be
+            # positions of INACTIVE lanes too, which moved on past each
+            # lane's final position.
+            pt_fin = to_pt(out[0])
+            pt_fin_safe = jnp.where(
+                init_oob, jnp.broadcast_to(ptr, pt_fin.shape), pt_fin)
+            patch_f, _ = extract_patch(pt_fin_safe, all_on, None)
+            _, pweight_f = loss_error_image(patch_f - tmpl, params.costfct)
+            pweight = jnp.where(init_oob, pw_dense_k(tmpl_pw),
+                                pw_dense_k(pweight_f))
         if cm:
             # kernel-internal pixel order is (i, j); the interface wants
             # (j, i) — transpose once per program (psz slice-concats)
@@ -1676,7 +1715,7 @@ def _gn_tiled_pallas(spec: LevelSpec, params: DISParams, geom: _TileGeom,
             pw_ref[0] = jnp.maximum(pweight, MINERRVAL)  # deferred clamp
         else:
             pw_ref[0] = pweight
-        it_ref[bi_, ti_] = out[5].astype(jnp.int32)
+        it_ref[bi_, ti_] = itcnt_out.astype(jnp.int32)
 
     blk_d = pl.BlockSpec((1, d, nb), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM)
